@@ -1,0 +1,289 @@
+"""Golden-value tests for the SFC cell library.
+
+Expected constants are ported row-for-row from the reference test suites:
+- geomesa-z3/src/test/.../zorder/sfcurve/Z2Test.scala:20-72 (interleave,
+  Tropf/Herzog and Wikipedia zdivide examples)
+- geomesa-z3/src/test/.../zorder/sfcurve/Z3Test.scala
+- geomesa-z3/src/test/.../curve/XZ2SFCTest.scala:19-120
+- geomesa-z3/src/test/.../curve/BinnedTimeTest.scala (round-trips)
+- geomesa-z3/src/test/.../curve/NormalizedDimensionTest.scala (boundaries)
+"""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.cells import zn
+from geomesa_spark.cells.grid import (cell_bounds, cell_id, cell_xy, cover_bbox,
+                                      disk, from_xy, ring)
+from geomesa_spark.cells.xz2 import XZ2SFC
+from geomesa_spark.cells.z2 import Z2, Z2SFC, NormalizedLat, NormalizedLon
+from geomesa_spark.cells.z3 import Z3, Z3SFC, BinnedTime
+
+
+class TestZ2:
+    def test_interlaces_bits(self):
+        assert Z2.encode(1, 0) == 1
+        assert Z2.encode(2, 0) == 4
+        assert Z2.encode(3, 0) == 5
+        assert Z2.encode(0, 1) == 2
+        assert Z2.encode(0, 2) == 8
+        assert Z2.encode(0, 3) == 10
+
+    def test_deinterlaces_bits(self):
+        imax = 2**31 - 1
+        assert Z2.decode(Z2.encode(23, 13)) == (23, 13)
+        assert Z2.decode(Z2.encode(imax, 0)) == (imax, 0)
+        assert Z2.decode(Z2.encode(0, imax)) == (0, imax)
+        assert Z2.decode(Z2.encode(imax, imax)) == (imax, imax)
+
+    def test_tropf_herzog_example(self):
+        rmin, rmax, p = Z2.encode(5, 3), Z2.encode(10, 5), Z2.encode(4, 7)
+        assert (rmin, rmax, p) == (27, 102, 58)
+        litmax, bigmin = zn.zdivide(p, rmin, rmax, dims=2)
+        assert (litmax, bigmin) == (55, 74)
+
+    def test_wikipedia_example(self):
+        rmin, rmax, p = Z2.encode(2, 2), Z2.encode(3, 6), Z2.encode(5, 1)
+        assert (rmin, rmax, p) == (12, 45, 19)
+        litmax, bigmin = zn.zdivide(p, rmin, rmax, dims=2)
+        assert (litmax, bigmin) == (15, 36)
+
+    def test_numpy_matches_scalar(self):
+        rng = np.random.RandomState(42)
+        x = rng.randint(0, 2**31 - 1, 1000)
+        y = rng.randint(0, 2**31 - 1, 1000)
+        z_np = Z2.encode_np(x.astype(np.uint64), y.astype(np.uint64))
+        for i in range(0, 1000, 97):
+            assert int(z_np[i]) == Z2.encode(int(x[i]), int(y[i]))
+        dx, dy = Z2.decode_np(z_np)
+        np.testing.assert_array_equal(dx.astype(np.int64), x)
+        np.testing.assert_array_equal(dy.astype(np.int64), y)
+
+
+class TestZ2SFC:
+    sfc = Z2SFC(31)
+
+    def test_whole_world_endpoints(self):
+        # from Z2Test.scala:74+ maxRanges fixtures
+        assert self.sfc.index(-180, -90) == 0
+        assert self.sfc.index(180, 90) == 4611686018427387903  # 2^62 - 1
+
+    def test_fixture_endpoints(self):
+        # exact z endpoints from Z2Test.scala maxRanges fixtures (note: the
+        # reference test's inline comments swap two rows; values verified
+        # against the actual constants in the ZRange list)
+        assert self.sfc.index(-90, -45) == 864691128455135232
+        assert self.sfc.index(35, 65) == 4105065703422263800
+        assert self.sfc.index(90, 45) == 4323455642275676160
+        assert self.sfc.index(45, 75) == 4261005727442805282
+        assert self.sfc.index(35, 55) == 4069591195588206970
+        assert self.sfc.index(40, 70) == 4203729178335734358
+        assert self.sfc.index(51.0, 51.0) == 4117455696967246884
+        assert self.sfc.index(51.0000001, 51.0000001) == 4117455696967246886
+        # round-trip: invert(index(x,y)) lands within one bin of the input
+        for x, y in [(35.0, 65.0), (45.0, 75.0), (-90.0, -45.0), (51.0, 51.0), (0.0, 0.0)]:
+            ix, iy = self.sfc.invert(self.sfc.index(x, y))
+            assert abs(ix - x) < 1e-6 and abs(iy - y) < 1e-6
+
+    def test_max_ranges_bounded(self):
+        fixtures = [
+            (-180.0, -90.0, 180.0, 90.0),
+            (35.0, 65.0, 45.0, 75.0),
+            (-90.0, -45.0, 90.0, 45.0),
+            (35.0, 55.0, 45.0, 75.0),
+            (35.0, 65.0, 37.0, 68.0),
+            (39.999, 60.999, 40.001, 61.001),
+            (51.0, 51.0, 51.1, 51.1),
+            (51.0, 51.0, 51.0000001, 51.0000001),
+        ]
+        for box in fixtures:
+            ranges = self.sfc.ranges([box], max_ranges=1000)
+            assert 1 <= len(ranges) <= 1000
+
+    def test_ranges_cover_points_inside(self):
+        box = (35.0, 65.0, 45.0, 75.0)
+        ranges = self.sfc.ranges([box], max_ranges=1000)
+        rng = np.random.RandomState(7)
+        xs = rng.uniform(35, 45, 200)
+        ys = rng.uniform(65, 75, 200)
+        for x, y in zip(xs, ys):
+            z = self.sfc.index(float(x), float(y))
+            assert any(r.lower <= z <= r.upper for r in ranges), (x, y)
+
+    def test_out_of_bounds(self):
+        with pytest.raises(ValueError):
+            self.sfc.index(-181, 0)
+        assert self.sfc.index(-181, 0, lenient=True) == self.sfc.index(-180, 0)
+
+
+class TestZ3:
+    def test_interlaces(self):
+        assert Z3.encode(1, 0, 0) == 1
+        assert Z3.encode(0, 1, 0) == 2
+        assert Z3.encode(0, 0, 1) == 4
+        assert Z3.encode(1, 1, 1) == 7
+
+    def test_decode(self):
+        assert Z3.decode(Z3.encode(23, 13, 200)) == (23, 13, 200)
+        imax = 2**31 - 1
+        assert Z3.decode(Z3.encode(imax, 0, 0)) == (2097151, 0, 0)  # 21-bit mask
+        assert Z3.decode(Z3.encode(imax, 0, imax)) == (2097151, 0, 2097151)
+
+    def test_numpy_matches_scalar(self):
+        rng = np.random.RandomState(1)
+        x = rng.randint(0, 2**21 - 1, 500)
+        y = rng.randint(0, 2**21 - 1, 500)
+        t = rng.randint(0, 2**21 - 1, 500)
+        z = Z3.encode_np(x.astype(np.uint64), y.astype(np.uint64), t.astype(np.uint64))
+        for i in range(0, 500, 41):
+            assert int(z[i]) == Z3.encode(int(x[i]), int(y[i]), int(t[i]))
+
+
+class TestZ3SFC:
+    def test_query_ranges_cover_index(self):
+        sfc = Z3SFC("week")
+        # a point + time inside a queried box must fall in the cover
+        t_offset = 3 * 86400 * 1000  # 3 days into the week, in millis
+        bt = BinnedTime.to_binned_time(1000 * WEEK_SECONDS * 52 + t_offset, "week")
+        z = sfc.index(10.0, 10.0, bt.offset)
+        ranges = sfc.ranges([(5.0, 5.0, 15.0, 15.0)], [(0, BinnedTime.max_offset("week"))],
+                            max_ranges=2000)
+        assert any(r.lower <= z <= r.upper for r in ranges)
+
+    def test_time_bounds(self):
+        sfc = Z3SFC("week")
+        assert sfc.time.max == float(BinnedTime.max_offset("week"))
+
+
+WEEK_SECONDS = 7 * 86400
+
+
+class TestBinnedTime:
+    @pytest.mark.parametrize("period", ["day", "week", "month", "year"])
+    def test_round_trip(self, period):
+        rng = np.random.RandomState(574)
+        for _ in range(25):
+            millis = int(rng.randint(0, 2**31)) * 1000  # second precision
+            if period == "year":
+                millis = (millis // 60000) * 60000  # minute precision for year bins
+            bt = BinnedTime.to_binned_time(millis, period)
+            assert BinnedTime.from_binned_time(bt, period) == millis
+
+    def test_day_millis(self):
+        bt = BinnedTime.to_binned_time(86400000 + 123, "day")
+        assert bt.bin == 1 and bt.offset == 123
+
+    def test_month_bins(self):
+        # 2020-12-15T00:00:00Z = 1607990400000 ms; months since epoch = 50*12+11
+        bt = BinnedTime.to_binned_time(1607990400000, "month")
+        assert bt.bin == (2020 - 1970) * 12 + 11
+
+    def test_max_offsets(self):
+        assert BinnedTime.max_offset("day") == 86400000
+        assert BinnedTime.max_offset("week") == WEEK_SECONDS
+        assert BinnedTime.max_offset("month") == 86400 * 31
+        assert BinnedTime.max_offset("year") == 1440 * 366 + 10
+
+
+class TestNormalizedDimension:
+    def test_boundaries(self):
+        for dim in (NormalizedLon(31), NormalizedLat(31), NormalizedLon(21)):
+            assert dim.normalize(dim.min) == 0
+            assert dim.normalize(dim.max) == dim.max_index
+            # denormalize is the bin midpoint
+            assert dim.min < dim.denormalize(0) < dim.max
+            assert dim.normalize(dim.denormalize(0)) == 0
+            assert dim.normalize(dim.denormalize(dim.max_index)) == dim.max_index
+
+    def test_numpy_matches_scalar(self):
+        dim = NormalizedLon(31)
+        xs = np.array([-180.0, -179.999, 0.0, 45.5, 179.999, 180.0])
+        expected = [dim.normalize(float(x)) for x in xs]
+        np.testing.assert_array_equal(dim.normalize_np(xs).astype(np.int64), expected)
+
+
+class TestXZ2:
+    sfc = XZ2SFC(12)
+
+    poly = None
+
+    def _matches(self, ranges, code):
+        return any(r.lower <= code <= r.upper for r in ranges)
+
+    def test_index_polygons_and_query(self):
+        code = self.sfc.index(10, 10, 12, 12)
+        containing = [(9.0, 9.0, 13.0, 13.0), (-180.0, -90.0, 180.0, 90.0),
+                      (0.0, 0.0, 180.0, 90.0), (0.0, 0.0, 20.0, 20.0)]
+        overlapping = [(11.0, 11.0, 13.0, 13.0), (9.0, 9.0, 11.0, 11.0),
+                       (10.5, 10.5, 11.5, 11.5), (11.0, 11.0, 11.0, 11.0)]
+        disjoint = [(-180.0, -90.0, 8.0, 8.0), (0.0, 0.0, 8.0, 8.0),
+                    (9.0, 9.0, 9.5, 9.5), (20.0, 20.0, 180.0, 90.0)]
+        for bbox in containing + overlapping:
+            assert self._matches(self.sfc.ranges([bbox]), code), bbox
+        for bbox in disjoint:
+            assert not self._matches(self.sfc.ranges([bbox]), code), bbox
+
+    def test_index_points_and_query(self):
+        code = self.sfc.index(11, 11, 11, 11)
+        containing = [(9.0, 9.0, 13.0, 13.0), (-180.0, -90.0, 180.0, 90.0),
+                      (0.0, 0.0, 180.0, 90.0), (0.0, 0.0, 20.0, 20.0)]
+        overlapping = [(11.0, 11.0, 13.0, 13.0), (9.0, 9.0, 11.0, 11.0),
+                       (10.5, 10.5, 11.5, 11.5), (11.0, 11.0, 11.0, 11.0)]
+        disjoint = [(-180.0, -90.0, 8.0, 8.0), (0.0, 0.0, 8.0, 8.0),
+                    (9.0, 9.0, 9.5, 9.5), (12.5, 12.5, 13.5, 13.5),
+                    (20.0, 20.0, 180.0, 90.0)]
+        for bbox in containing + overlapping:
+            assert self._matches(self.sfc.ranges([bbox]), code), bbox
+        for bbox in disjoint:
+            assert not self._matches(self.sfc.ranges([bbox]), code), bbox
+
+    def test_out_of_bounds_raises(self):
+        for bbox in [(-180.1, 0.0, -179.9, 1.0), (179.9, 0.0, 180.1, 1.0),
+                     (0.0, -90.1, 1.0, -89.9), (0.0, 89.9, 1.0, 90.1),
+                     (-181.0, -91.0, 0.0, 0.0), (0.0, 0.0, 181.0, 91.0)]:
+            with pytest.raises(ValueError):
+                self.sfc.index(*bbox)
+
+    def test_numpy_matches_scalar(self):
+        rng = np.random.RandomState(3)
+        xmin = rng.uniform(-179, 178, 300)
+        ymin = rng.uniform(-89, 88, 300)
+        xmax = xmin + rng.uniform(0, 1.5, 300)
+        ymax = ymin + rng.uniform(0, 1.5, 300)
+        codes = self.sfc.index_np(xmin, ymin, xmax, ymax)
+        for i in range(0, 300, 23):
+            assert int(codes[i]) == self.sfc.index(float(xmin[i]), float(ymin[i]),
+                                                   float(xmax[i]), float(ymax[i]))
+
+
+class TestGridCells:
+    def test_pack_unpack(self):
+        cid = cell_id(10.0, 20.0, 8)
+        res, ix, iy = cell_xy(cid)
+        assert res == 8
+        xmin, ymin, xmax, ymax = cell_bounds(cid)
+        assert xmin <= 10.0 <= xmax and ymin <= 20.0 <= ymax
+
+    def test_ring_wrap_and_clamp(self):
+        res = 4
+        n = 1 << res
+        # antimeridian wrap: cell at ix=0 has a neighbor at ix=n-1
+        cid = from_xy(res, 0, n // 2)
+        r1 = ring(cid, 1)
+        assert from_xy(res, n - 1, n // 2) in r1
+        assert len(r1) == 8
+        # pole clamp: cell at iy=0 has only 5 ring-1 neighbors
+        cid = from_xy(res, 5, 0)
+        assert len(ring(cid, 1)) == 5
+
+    def test_disk_size(self):
+        cid = from_xy(6, 30, 30)
+        assert len(disk(cid, 2)) == 25
+
+    def test_cover_bbox(self):
+        cells = cover_bbox(-1.0, -1.0, 1.0, 1.0, 8)
+        assert cell_id(0.5, 0.5, 8) in cells
+        assert cell_id(-0.5, -0.5, 8) in cells
+        for cid in cells:
+            xmin, ymin, xmax, ymax = cell_bounds(cid)
+            assert xmax >= -1.0 and xmin <= 1.0 and ymax >= -1.0 and ymin <= 1.0
