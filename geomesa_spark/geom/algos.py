@@ -1,0 +1,558 @@
+"""Vectorized geometry algorithms (numpy; no GEOS).
+
+Predicate semantics follow OGC SFS / JTS as used by the reference's filter
+implementations (geomesa-filter package.scala:268-277 dispatches to JTS):
+``intersects`` includes boundaries, ``contains`` excludes them, ``covers``
+includes them, DWithin distances are planar degrees unless the geodesic
+variants are used (reference converts meters to degrees:
+filter/GeometryProcessing.scala:38-71).
+
+The point-set kernels (``points_in_polygon`` etc.) are the executor-side hot
+path: one query geometry against numpy arrays of point coordinates, called
+from Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius; geodesic distances are spherical
+
+OUT, IN, BOUNDARY = 0, 1, 2
+
+
+# --------------------------------------------------------------------------
+# point-set kernels (vectorized over many points, one geometry)
+# --------------------------------------------------------------------------
+
+def points_in_ring(x: np.ndarray, y: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Ray-cast points against one closed ring → int8 array of OUT/IN/BOUNDARY."""
+    n = len(ring) - 1
+    if n < 3:
+        return np.zeros(len(x), dtype=np.int8)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    inside = np.zeros(len(x), dtype=bool)
+    boundary = np.zeros(len(x), dtype=bool)
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    for i in range(n):
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        # boundary: collinear + within segment bbox
+        cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        on = (cross == 0.0) & (x >= min(ax, bx)) & (x <= max(ax, bx)) \
+            & (y >= min(ay, by)) & (y <= max(ay, by))
+        boundary |= on
+        # ray cast (half-open rule avoids double-counting vertices)
+        cond = ((ay > y) != (by > y))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (y - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (x < xint)
+    out = np.where(boundary, BOUNDARY, np.where(inside, IN, OUT)).astype(np.int8)
+    return out
+
+
+def points_in_polygon(x: np.ndarray, y: np.ndarray, polygon) -> np.ndarray:
+    """int8 OUT/IN/BOUNDARY of each point w.r.t. a Polygon (shell minus holes)."""
+    loc = points_in_ring(x, y, polygon.shell)
+    for hole in polygon.holes:
+        hl = points_in_ring(x, y, hole)
+        loc = np.where(hl == IN, OUT, np.where((hl == BOUNDARY) & (loc != OUT), BOUNDARY, loc))
+    return loc
+
+
+def points_intersect(x: np.ndarray, y: np.ndarray, geom) -> np.ndarray:
+    """bool: point INTERSECTS geom (boundary counts), vectorized over points."""
+    from geomesa_spark.geom import model
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    result = np.zeros(len(x), dtype=bool)
+    for comp in geom._components():
+        if isinstance(comp, model.Point):
+            result |= (x == comp.x) & (y == comp.y)
+        elif isinstance(comp, model.LineString):
+            result |= points_on_polyline(x, y, comp.coords)
+        elif isinstance(comp, model.Polygon):
+            result |= points_in_polygon(x, y, comp) != OUT
+    return result
+
+
+def points_on_polyline(x: np.ndarray, y: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    result = np.zeros(len(x), dtype=bool)
+    for i in range(len(coords) - 1):
+        ax, ay = coords[i]
+        bx, by = coords[i + 1]
+        cross = (bx - ax) * (y - ay) - (by - ay) * (x - ax)
+        result |= (cross == 0.0) & (x >= min(ax, bx)) & (x <= max(ax, bx)) \
+            & (y >= min(ay, by)) & (y <= max(ay, by))
+    return result
+
+
+def points_segment_dist2(x: np.ndarray, y: np.ndarray, ax, ay, bx, by) -> np.ndarray:
+    """Squared planar distance from points to one segment."""
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    if seg2 == 0.0:
+        return (x - ax) ** 2 + (y - ay) ** 2
+    t = np.clip(((x - ax) * dx + (y - ay) * dy) / seg2, 0.0, 1.0)
+    px, py = ax + t * dx, ay + t * dy
+    return (x - px) ** 2 + (y - py) ** 2
+
+
+def points_distance(x: np.ndarray, y: np.ndarray, geom) -> np.ndarray:
+    """Planar distance (degrees) from each point to geom (0 if inside)."""
+    from geomesa_spark.geom import model
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    best = np.full(len(x), np.inf)
+    for comp in geom._components():
+        if isinstance(comp, model.Point):
+            best = np.minimum(best, np.sqrt((x - comp.x) ** 2 + (y - comp.y) ** 2))
+        elif isinstance(comp, model.LineString):
+            for i in range(len(comp.coords) - 1):
+                d2 = points_segment_dist2(x, y, *comp.coords[i], *comp.coords[i + 1])
+                best = np.minimum(best, np.sqrt(d2))
+        elif isinstance(comp, model.Polygon):
+            inside = points_in_polygon(x, y, comp) != OUT
+            d = np.full(len(x), np.inf)
+            for ring in [comp.shell] + comp.holes:
+                for i in range(len(ring) - 1):
+                    d2 = points_segment_dist2(x, y, *ring[i], *ring[i + 1])
+                    d = np.minimum(d, np.sqrt(d2))
+            best = np.minimum(best, np.where(inside, 0.0, d))
+    return best
+
+
+def points_dwithin(x: np.ndarray, y: np.ndarray, geom, dist: float) -> np.ndarray:
+    return points_distance(x, y, geom) <= dist
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized)."""
+    rlon1, rlat1 = np.radians(lon1), np.radians(lat1)
+    rlon2, rlat2 = np.radians(lon2), np.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlon = rlon2 - rlon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+# --------------------------------------------------------------------------
+# scalar geometry-geometry predicates
+# --------------------------------------------------------------------------
+
+def _orient(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _on_segment(px, py, ax, ay, bx, by) -> bool:
+    return (min(ax, bx) <= px <= max(ax, bx)) and (min(ay, by) <= py <= max(ay, by))
+
+
+def segments_intersect(a1, a2, b1, b2) -> bool:
+    """Closed-segment intersection (touching endpoints count)."""
+    o1 = _orient(*a1, *a2, *b1)
+    o2 = _orient(*a1, *a2, *b2)
+    o3 = _orient(*b1, *b2, *a1)
+    o4 = _orient(*b1, *b2, *a2)
+    if ((o1 > 0) != (o2 > 0)) and ((o3 > 0) != (o4 > 0)) and o1 != 0 and o2 != 0 and o3 != 0 and o4 != 0:
+        return True
+    if o1 == 0 and _on_segment(*b1, *a1, *a2):
+        return True
+    if o2 == 0 and _on_segment(*b2, *a1, *a2):
+        return True
+    if o3 == 0 and _on_segment(*a1, *b1, *b2):
+        return True
+    if o4 == 0 and _on_segment(*a2, *b1, *b2):
+        return True
+    return False
+
+
+def _segs(coords: np.ndarray):
+    for i in range(len(coords) - 1):
+        yield coords[i], coords[i + 1]
+
+
+def _rings(polygon):
+    return [polygon.shell] + polygon.holes
+
+
+def _bboxes_disjoint(a, b) -> bool:
+    ax0, ay0, ax1, ay1 = a.bounds
+    bx0, by0, bx1, by1 = b.bounds
+    return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
+
+
+def _polylines_intersect(c1: np.ndarray, c2: np.ndarray) -> bool:
+    for s1 in _segs(c1):
+        for s2 in _segs(c2):
+            if segments_intersect(s1[0], s1[1], s2[0], s2[1]):
+                return True
+    return False
+
+
+def _simple_intersects(a, b) -> bool:
+    """Intersection test between two simple (non-multi) geometries."""
+    from geomesa_spark.geom import model
+    ta, tb = a.geom_type, b.geom_type
+    order = {"Point": 0, "LineString": 1, "Polygon": 2}
+    if order[ta] > order[tb]:
+        return _simple_intersects(b, a)
+    if ta == "Point":
+        return bool(points_intersect(np.array([a.x]), np.array([a.y]), b)[0])
+    if ta == "LineString":
+        if tb == "LineString":
+            return _polylines_intersect(a.coords, b.coords)
+        # line vs polygon: any vertex inside, or any segment hits any ring
+        loc = points_in_polygon(a.coords[:, 0], a.coords[:, 1], b)
+        if np.any(loc != OUT):
+            return True
+        return any(_polylines_intersect(a.coords, r) for r in _rings(b))
+    # polygon vs polygon
+    la = points_in_polygon(b.shell[:, 0], b.shell[:, 1], a)
+    if np.any(la != OUT):
+        return True
+    lb = points_in_polygon(a.shell[:, 0], a.shell[:, 1], b)
+    if np.any(lb != OUT):
+        return True
+    return any(_polylines_intersect(ra, rb) for ra in _rings(a) for rb in _rings(b))
+
+
+def intersects(a, b) -> bool:
+    if a.is_empty or b.is_empty or _bboxes_disjoint(a, b):
+        return False
+    return any(_simple_intersects(ca, cb)
+               for ca in a._components() for cb in b._components())
+
+
+def covers(a, b) -> bool:
+    """Every point of b is in (interior or boundary of) a."""
+    from geomesa_spark.geom import model
+    if a.is_empty or b.is_empty:
+        return False
+    for cb in b._components():
+        pts = cb._all_coords()
+        cov = np.zeros(len(pts), dtype=bool)
+        for ca in a._components():
+            if isinstance(ca, model.Polygon):
+                cov |= points_in_polygon(pts[:, 0], pts[:, 1], ca) != OUT
+            elif isinstance(ca, model.LineString):
+                cov |= points_on_polyline(pts[:, 0], pts[:, 1], ca.coords)
+            elif isinstance(ca, model.Point):
+                cov |= (pts[:, 0] == ca.x) & (pts[:, 1] == ca.y)
+        if not np.all(cov):
+            return False
+        # edges of b must not exit a: no proper crossing with a's boundary
+        if isinstance(cb, (model.LineString, model.Polygon)):
+            coords_list = [cb.coords] if isinstance(cb, model.LineString) else _rings(cb)
+            for ca in a._components():
+                if not isinstance(ca, model.Polygon):
+                    continue
+                for ring in _rings(ca):
+                    for cc in coords_list:
+                        for s1 in _segs(cc):
+                            mid = ((s1[0][0] + s1[1][0]) / 2, (s1[0][1] + s1[1][1]) / 2)
+                            if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), ca)[0] == OUT:
+                                return False
+    return True
+
+
+def contains(a, b) -> bool:
+    """SFS contains: covers + at least one interior-interior intersection."""
+    from geomesa_spark.geom import model
+    if not covers(a, b):
+        return False
+    # some point of b must be in the interior of a
+    for cb in b._components():
+        pts = cb._all_coords()
+        if isinstance(cb, model.LineString) or isinstance(cb, model.Polygon):
+            coords = cb.coords if isinstance(cb, model.LineString) else cb.shell
+            mids = (coords[:-1] + coords[1:]) / 2.0
+            pts = np.vstack([pts, mids])
+        for ca in a._components():
+            if isinstance(ca, model.Polygon):
+                if np.any(points_in_polygon(pts[:, 0], pts[:, 1], ca) == IN):
+                    return True
+            elif isinstance(ca, model.LineString) and isinstance(cb, model.Point):
+                if bool(points_on_polyline(pts[:, 0], pts[:, 1], ca.coords).any()):
+                    return True
+    return False
+
+
+def touches(a, b) -> bool:
+    """Boundaries meet, interiors don't."""
+    from geomesa_spark.geom import model
+    if not intersects(a, b):
+        return False
+    # points: touch iff on the boundary of the other
+    for ca in a._components():
+        for cb in b._components():
+            if isinstance(ca, model.Point) and isinstance(cb, model.Polygon):
+                if points_in_polygon(np.array([ca.x]), np.array([ca.y]), cb)[0] == IN:
+                    return False
+            elif isinstance(cb, model.Point) and isinstance(ca, model.Polygon):
+                if points_in_polygon(np.array([cb.x]), np.array([cb.y]), ca)[0] == IN:
+                    return False
+            elif isinstance(ca, model.Polygon) and isinstance(cb, model.Polygon):
+                if _interiors_overlap(ca, cb):
+                    return False
+            elif isinstance(ca, model.LineString) and isinstance(cb, model.Polygon):
+                if np.any(points_in_polygon(ca.coords[:, 0], ca.coords[:, 1], cb) == IN):
+                    return False
+                mids = (ca.coords[:-1] + ca.coords[1:]) / 2.0
+                if np.any(points_in_polygon(mids[:, 0], mids[:, 1], cb) == IN):
+                    return False
+            elif isinstance(cb, model.LineString) and isinstance(ca, model.Polygon):
+                if np.any(points_in_polygon(cb.coords[:, 0], cb.coords[:, 1], ca) == IN):
+                    return False
+                mids = (cb.coords[:-1] + cb.coords[1:]) / 2.0
+                if np.any(points_in_polygon(mids[:, 0], mids[:, 1], ca) == IN):
+                    return False
+    return True
+
+
+def _interiors_overlap(pa, pb) -> bool:
+    """Polygon-polygon interior intersection via sampled interior points."""
+    # vertices of one strictly inside the other
+    if np.any(points_in_polygon(pb.shell[:, 0], pb.shell[:, 1], pa) == IN):
+        return True
+    if np.any(points_in_polygon(pa.shell[:, 0], pa.shell[:, 1], pb) == IN):
+        return True
+    # proper edge crossings imply interior overlap
+    for ra in _rings(pa):
+        for rb in _rings(pb):
+            for s1 in _segs(ra):
+                for s2 in _segs(rb):
+                    o1 = _orient(*s1[0], *s1[1], *s2[0])
+                    o2 = _orient(*s1[0], *s1[1], *s2[1])
+                    o3 = _orient(*s2[0], *s2[1], *s1[0])
+                    o4 = _orient(*s2[0], *s2[1], *s1[1])
+                    if o1 * o2 < 0 and o3 * o4 < 0:
+                        return True
+    return False
+
+
+def crosses(a, b) -> bool:
+    """Line/polygon or line/line proper crossing (SFS dim-based subset)."""
+    from geomesa_spark.geom import model
+    if not intersects(a, b):
+        return False
+    for ca in a._components():
+        for cb in b._components():
+            if isinstance(ca, model.LineString) and isinstance(cb, model.Polygon):
+                locs = points_in_polygon(ca.coords[:, 0], ca.coords[:, 1], cb)
+                mids = (ca.coords[:-1] + ca.coords[1:]) / 2.0
+                mlocs = points_in_polygon(mids[:, 0], mids[:, 1], cb)
+                alllocs = np.concatenate([locs, mlocs])
+                if np.any(alllocs == IN) and np.any(alllocs == OUT):
+                    return True
+            elif isinstance(cb, model.LineString) and isinstance(ca, model.Polygon):
+                return crosses(b, a)
+            elif isinstance(ca, model.LineString) and isinstance(cb, model.LineString):
+                # proper interior crossing
+                for s1 in _segs(ca.coords):
+                    for s2 in _segs(cb.coords):
+                        o1 = _orient(*s1[0], *s1[1], *s2[0])
+                        o2 = _orient(*s1[0], *s1[1], *s2[1])
+                        o3 = _orient(*s2[0], *s2[1], *s1[0])
+                        o4 = _orient(*s2[0], *s2[1], *s1[1])
+                        if o1 * o2 < 0 and o3 * o4 < 0:
+                            return True
+    return False
+
+
+def overlaps(a, b) -> bool:
+    """Same-dimension partial overlap (SFS)."""
+    from geomesa_spark.geom import model
+    pa = [c for c in a._components() if isinstance(c, model.Polygon)]
+    pb = [c for c in b._components() if isinstance(c, model.Polygon)]
+    if pa and pb:
+        inter = any(_interiors_overlap(x, y) for x in pa for y in pb)
+        return inter and not covers(a, b) and not covers(b, a)
+    return False
+
+
+def geom_equals(a, b) -> bool:
+    return covers(a, b) and covers(b, a)
+
+
+def distance(a, b) -> float:
+    """Min planar distance between geometries (0 when intersecting)."""
+    from geomesa_spark.geom import model
+    if intersects(a, b):
+        return 0.0
+    best = np.inf
+    for ca in a._components():
+        pts = ca._all_coords()
+        d = points_distance(pts[:, 0], pts[:, 1], b)
+        if len(d):
+            best = min(best, float(d.min()))
+    for cb in b._components():
+        pts = cb._all_coords()
+        d = points_distance(pts[:, 0], pts[:, 1], a)
+        if len(d):
+            best = min(best, float(d.min()))
+    return best
+
+
+def distance_sphere(a, b) -> float:
+    """Great-circle distance in meters between nearest vertices (spherical
+    approximation on the planar-nearest pair, like the reference's
+    orthodromic conversion of the JTS result)."""
+    from geomesa_spark.geom import model
+    if intersects(a, b):
+        return 0.0
+    # nearest pair by planar metric, then haversine
+    best = (np.inf, None, None)
+    for ca in a._components():
+        apts = ca._all_coords()
+        for cb in b._components():
+            bpts = cb._all_coords()
+            for px, py in apts:
+                d = points_distance(np.array([px]), np.array([py]), cb)[0]
+                if d < best[0]:
+                    qx, qy = _nearest_on(cb, px, py)
+                    best = (d, (px, py), (qx, qy))
+            for px, py in bpts:
+                d = points_distance(np.array([px]), np.array([py]), ca)[0]
+                if d < best[0]:
+                    qx, qy = _nearest_on(ca, px, py)
+                    best = (d, (qx, qy), (px, py))
+    if best[1] is None:
+        return np.inf
+    (x1, y1), (x2, y2) = best[1], best[2]
+    return float(haversine_m(x1, y1, x2, y2))
+
+
+def _nearest_on(geom, px, py) -> tuple[float, float]:
+    from geomesa_spark.geom import model
+    best = (np.inf, px, py)
+    for comp in geom._components():
+        if isinstance(comp, model.Point):
+            d = (comp.x - px) ** 2 + (comp.y - py) ** 2
+            if d < best[0]:
+                best = (d, comp.x, comp.y)
+        else:
+            coord_sets = [comp.coords] if isinstance(comp, model.LineString) else _rings(comp)
+            for coords in coord_sets:
+                for aa, bb in _segs(coords):
+                    ax, ay = aa
+                    bx, by = bb
+                    dx, dy = bx - ax, by - ay
+                    seg2 = dx * dx + dy * dy
+                    t = 0.0 if seg2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / seg2))
+                    qx, qy = ax + t * dx, ay + t * dy
+                    d = (qx - px) ** 2 + (qy - py) ** 2
+                    if d < best[0]:
+                        best = (d, qx, qy)
+    return best[1], best[2]
+
+
+# --------------------------------------------------------------------------
+# measures
+# --------------------------------------------------------------------------
+
+def _ring_area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(geom) -> float:
+    from geomesa_spark.geom import model
+    total = 0.0
+    for comp in geom._components():
+        if isinstance(comp, model.Polygon):
+            total += abs(_ring_area(comp.shell)) - sum(abs(_ring_area(h)) for h in comp.holes)
+    return total
+
+
+def length(geom) -> float:
+    from geomesa_spark.geom import model
+    total = 0.0
+    for comp in geom._components():
+        if isinstance(comp, model.LineString):
+            d = np.diff(comp.coords, axis=0)
+            total += float(np.sqrt((d ** 2).sum(axis=1)).sum())
+        elif isinstance(comp, model.Polygon):
+            for ring in _rings(comp):
+                d = np.diff(ring, axis=0)
+                total += float(np.sqrt((d ** 2).sum(axis=1)).sum())
+    return total
+
+
+def length_sphere_m(geom) -> float:
+    from geomesa_spark.geom import model
+    total = 0.0
+    for comp in geom._components():
+        if isinstance(comp, model.LineString):
+            c = comp.coords
+            total += float(haversine_m(c[:-1, 0], c[:-1, 1], c[1:, 0], c[1:, 1]).sum())
+    return total
+
+
+def centroid(geom):
+    from geomesa_spark.geom import model
+    polys = [c for c in geom._components() if isinstance(c, model.Polygon)]
+    if polys:
+        cx = cy = aa = 0.0
+        for p in polys:
+            for sign, ring in [(1.0, p.shell)] + [(-1.0, h) for h in p.holes]:
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x2, y2 = ring[1:, 0], ring[1:, 1]
+                cross = x * y2 - x2 * y
+                a = float(cross.sum()) / 2.0
+                if a == 0.0:
+                    continue
+                cx += sign * float(((x + x2) * cross).sum()) / 6.0
+                cy += sign * float(((y + y2) * cross).sum()) / 6.0
+                aa += sign * a
+        if aa != 0.0:
+            return model.Point(cx / aa, cy / aa)
+    lines = [c for c in geom._components() if isinstance(c, model.LineString)]
+    if lines:
+        sx = sy = sl = 0.0
+        for l in lines:
+            c = l.coords
+            seg = np.sqrt((np.diff(c, axis=0) ** 2).sum(axis=1))
+            mid = (c[:-1] + c[1:]) / 2.0
+            sx += float((mid[:, 0] * seg).sum())
+            sy += float((mid[:, 1] * seg).sum())
+            sl += float(seg.sum())
+        if sl > 0:
+            return model.Point(sx / sl, sy / sl)
+    pts = geom._all_coords()
+    return model.Point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+
+
+# --------------------------------------------------------------------------
+# clipping (convex clip window — used by tiling and ST_Intersection on boxes)
+# --------------------------------------------------------------------------
+
+def clip_polygon_convex(subject: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip a ring by a CONVEX ring. Returns closed ring
+    (possibly empty)."""
+    # ensure clip ring is counter-clockwise
+    ring = clip_ring[:-1] if np.all(clip_ring[0] == clip_ring[-1]) else clip_ring
+    if _ring_area(np.vstack([ring, ring[:1]])) < 0:
+        ring = ring[::-1]
+    output = list(subject[:-1] if np.all(subject[0] == subject[-1]) else subject)
+    for i in range(len(ring)):
+        a, b = ring[i], ring[(i + 1) % len(ring)]
+        if not output:
+            break
+        input_pts, output = output, []
+        for j in range(len(input_pts)):
+            p, q = input_pts[j], input_pts[(j + 1) % len(input_pts)]
+            pin = _orient(*a, *b, *p) >= 0
+            qin = _orient(*a, *b, *q) >= 0
+            if pin:
+                output.append(p)
+            if pin != qin:
+                d1 = _orient(*a, *b, *p)
+                d2 = _orient(*a, *b, *q)
+                t = d1 / (d1 - d2)
+                output.append(p + t * (np.asarray(q) - np.asarray(p)))
+    if len(output) < 3:
+        return np.empty((0, 2))
+    out = np.asarray(output)
+    return np.vstack([out, out[:1]])

