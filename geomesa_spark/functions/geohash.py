@@ -1,0 +1,74 @@
+"""Geohash encode/decode (base-32, standard interleaved lon/lat bits).
+
+Backs ST_GeoHash / ST_GeomFromGeoHash / ST_PointFromGeoHash (reference:
+udf/GeometricOutputFunctions.scala, GeometricConstructorFunctions.scala).
+Precision is in bits, matching the reference's API.
+"""
+
+from __future__ import annotations
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_DECODE = {c: i for i, c in enumerate(_BASE32)}
+
+
+def encode(lon: float, lat: float, precision_bits: int) -> str:
+    """Geohash string of ceil(precision/5) chars covering `precision_bits` bits."""
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True  # lon first
+    while len(bits) < precision_bits:
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_x = mid
+            else:
+                bits.append(0)
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_y = mid
+            else:
+                bits.append(0)
+                hi_y = mid
+        even = not even
+    while len(bits) % 5:
+        bits.append(0)
+    out = []
+    for i in range(0, len(bits), 5):
+        v = 0
+        for b in bits[i:i + 5]:
+            v = (v << 1) | b
+        out.append(_BASE32[v])
+    return "".join(out)
+
+
+def decode_bounds(gh: str) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of the geohash cell."""
+    lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    even = True
+    for c in gh.lower():
+        v = _DECODE[c]
+        for shift in range(4, -1, -1):
+            bit = (v >> shift) & 1
+            if even:
+                mid = (lo_x + hi_x) / 2
+                if bit:
+                    lo_x = mid
+                else:
+                    hi_x = mid
+            else:
+                mid = (lo_y + hi_y) / 2
+                if bit:
+                    lo_y = mid
+                else:
+                    hi_y = mid
+            even = not even
+    return lo_x, lo_y, hi_x, hi_y
+
+
+def decode(gh: str) -> tuple[float, float]:
+    xmin, ymin, xmax, ymax = decode_bounds(gh)
+    return (xmin + xmax) / 2, (ymin + ymax) / 2
