@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke check on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — matching DuckDB SQL per query for the correctness gate.
 """
 
 from __future__ import annotations
@@ -14,25 +12,45 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _prep(spark: SparkSession) -> None:
+    from geomesa_spark.functions import register_all
+    register_all(spark)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: broadcast PIP join + per-polygon tile rollup on sf0.001."""
+    _prep(spark)
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.entry_queries import PIP_POLYGONS
+    from geomesa_spark.operators.pip_join import pip_join_broadcast
+    from geomesa_spark.operators.tiling import tile_pyramid
+    from geomesa_spark.sources.testdata import geo_events
+
+    df = geo_events(spark, "/root/testdata/sf0.001")
+    joined = pip_join_broadcast(df, PIP_POLYGONS)
+    tiles = tile_pyramid(joined, [0, 2, 4], tile_px=256)
+    return tiles.groupBy("zoom").agg(
+        F.count("*").alias("n_pixels"),
+        F.sum("cnt").alias("n_points"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented query/operator from SURVEY.md §2."""
+    from geomesa_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (same column names/rounding)."""
+    from geomesa_spark.entry_queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join + tiling pipeline + per-query times.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows_per_sec": ..., ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local core count (default 32)
+  BENCH_IMAGES_ROWS    synthetic image-table rows for the flagship pipeline
+                       (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+IMAGES_ROWS = int(os.environ.get("BENCH_IMAGES_ROWS", "2000000"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.session import get_spark
+    spark = get_spark("geomesa-spark-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from geomesa_spark.entry_queries import PIP_POLYGONS
+    from geomesa_spark.operators.pip_join import pip_join_broadcast
+    from geomesa_spark.operators.tiling import tile_pyramid
+    from geomesa_spark.sources.images import synthetic_images_geo
+    from geomesa_spark.sources.testdata import geo_events
+
+    # ---- headline: spatial-join + tiling over the synthetic image table ----
+    # (BASELINE.json metric: rows/sec through PIP join + tile pyramid)
+    imgs = synthetic_images_geo(spark, IMAGES_ROWS)
+    t0 = time.time()
+    joined = pip_join_broadcast(imgs, PIP_POLYGONS, lon_col="lon", lat_col="lat")
+    tiles = tile_pyramid(joined, [0, 2, 4, 6], tile_px=256)
+    n_tiles = tiles.count()
+    headline_sec = time.time() - t0
+    rows_per_sec = IMAGES_ROWS / headline_sec
+
+    # ---- per-query times on the driver tables --------------------------------
+    queries = entry_mod.queries()
+    q_times: dict[str, float] = {}
+    for name, fn in sorted(queries.items()):
+        t1 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        q_times[name] = round(time.time() - t1, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "spatial_join_tiling_pipeline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "rows_per_sec": round(rows_per_sec, 1),
+        "images_rows": IMAGES_ROWS,
+        "pyramid_pixels": n_tiles,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,392 @@
+"""Catalog of driver-checkable queries: Spark implementation + DuckDB oracle.
+
+Every entry runs the ENGINE operator (cell indexing, PIP join, kNN ring
+expansion, tiling, stats, tracks...) on the driver's parquet tables and has a
+matching ANSI-SQL oracle that DuckDB evaluates on the same tables. Column
+names and float rounding match on both sides so the driver's
+order-insensitive value hash agrees.
+
+Spatial columns are derived deterministically (sources/testdata.py) — pure
+int64 arithmetic + one float division, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom import model
+from geomesa_spark.operators.knn import _haversine_col, knn_join
+from geomesa_spark.operators.pip_join import pip_join_broadcast
+from geomesa_spark.operators.tiling import density, tile_pyramid
+from geomesa_spark.plans.query import SpatialQuery
+from geomesa_spark.sources.testdata import (CLUST_LAT_EXPR, CLUST_LON_EXPR,
+                                            geo_events, geo_events_sql)
+
+EARTH_RADIUS_M = 6371008.8
+
+# ---------------------------------------------------------------------------
+# shared fixtures: polygons, query points (small, driver-side)
+# ---------------------------------------------------------------------------
+
+# rectangles + one diamond; the cluster region [40,50]x[20,30] is hot
+PIP_POLYGONS = [
+    ("cluster_box", "POLYGON ((45 23, 48 23, 48 27, 45 27, 45 23))"),
+    ("wide_box", "POLYGON ((-30 -20, 30 -20, 30 20, -30 20, -30 -20))"),
+    ("north_box", "POLYGON ((0 60, 90 60, 90 85, 0 85, 0 60))"),
+    ("diamond", "POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))"),
+]
+
+KNN_QUERY_POINTS = [
+    ("q_cluster", 46.0, 25.0),
+    ("q_origin", 0.0, 0.0),
+    ("q_antimeridian", 179.5, 10.0),
+    ("q_near_pole", 30.0, 88.0),
+    ("q_mid", -60.0, -30.0),
+]
+
+DWITHIN_ANCHORS = [(46.0, 25.0), (-120.0, 40.0), (10.0, -60.0)]
+DWITHIN_RADIUS_M = 300_000.0
+
+BBOX = (40.0, 20.0, 50.0, 30.0)
+INTERVAL = ("2021-01-01 00:00:00", "2023-01-01 00:00:00")
+
+
+def _haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
+            f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 1.0)))")
+
+
+def _z2_norm_sql(x: str, lo: float, hi: float, bits: int) -> str:
+    bins = 1 << bits
+    normalizer = repr(bins / (hi - lo))
+    return (f"least(cast(floor((least(greatest({x}, {lo}), {hi}) - ({lo})) * {normalizer}) "
+            f"as bigint), {bins - 1})")
+
+
+def _z2_spread_sql(x: str) -> str:
+    """XOR magic-number bit spread in portable SQL (xor() works in DuckDB
+    and Spark)."""
+    masks = [(32, 0x00000000FFFFFFFF), (16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+             (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333), (1, 0x5555555555555555)]
+    expr = f"({x} & 2147483647)"
+    for shift, mask in masks:
+        expr = f"(xor({expr}, ({expr} << {shift})) & {mask})"
+    return expr
+
+
+def z2_sql(lon: str, lat: str) -> str:
+    nx = _z2_norm_sql(lon, -180.0, 180.0, 31)
+    ny = _z2_norm_sql(lat, -90.0, 90.0, 31)
+    return f"({_z2_spread_sql(nx)} | ({_z2_spread_sql(ny)} << 1))"
+
+
+GEO = f"WITH geo AS ({geo_events_sql()})"
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns (spark_fn, oracle_sql or None)
+# ---------------------------------------------------------------------------
+
+def q_bbox_during(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index scan: bbox AND during -> exact rows (Z3IndexTest scenario)."""
+    df = geo_events(spark, sf_dir)
+    q = SpatialQuery(bbox=BBOX, interval=INTERVAL)
+    return q.apply(df).select("event_id", "event_type", "user_id")
+
+
+Q_BBOX_DURING_SQL = f"""
+{GEO}
+SELECT event_id, event_type, user_id FROM geo
+WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
+  AND ts BETWEEN TIMESTAMP '2021-01-01 00:00:00' AND TIMESTAMP '2023-01-01 00:00:00'
+"""
+
+
+def q_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECTS with a non-rectangular polygon: bbox prefilter + refine."""
+    df = geo_events(spark, sf_dir)
+    q = SpatialQuery(geometry="POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))")
+    return q.apply(df).select("event_id")
+
+
+Q_POLYGON_FILTER_SQL = f"""
+{GEO}
+SELECT event_id FROM geo
+WHERE abs(lon - 46.0) / 2.0 + abs(lat - 25.0) / 4.0 <= 1.0
+"""
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast PIP join: per-polygon row counts + value sums."""
+    df = geo_events(spark, sf_dir)
+    joined = pip_join_broadcast(df, PIP_POLYGONS)
+    return (joined.groupBy("poly_id")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 3).alias("sum_value"))
+            .orderBy("poly_id"))
+
+
+Q_PIP_JOIN_SQL = f"""
+{GEO}, polys AS (
+  SELECT 'cluster_box' AS poly_id FROM (VALUES (1)) t
+), matches AS (
+  SELECT 'cluster_box' AS poly_id, value FROM geo
+    WHERE lon BETWEEN 45 AND 48 AND lat BETWEEN 23 AND 27
+  UNION ALL
+  SELECT 'wide_box' AS poly_id, value FROM geo
+    WHERE lon BETWEEN -30 AND 30 AND lat BETWEEN -20 AND 20
+  UNION ALL
+  SELECT 'north_box' AS poly_id, value FROM geo
+    WHERE lon BETWEEN 0 AND 90 AND lat BETWEEN 60 AND 85
+  UNION ALL
+  SELECT 'diamond' AS poly_id, value FROM geo
+    WHERE abs(lon - 46.0) / 2.0 + abs(lat - 25.0) / 4.0 <= 1.0
+)
+SELECT poly_id, count(*) AS cnt, round(sum(value), 3) AS sum_value
+FROM matches GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via cell-ring expansion + exact haversine refine."""
+    df = geo_events(spark, sf_dir)
+    out = knn_join(df, KNN_QUERY_POINTS, k=5)
+    # note: raw distances differ between JVM libm and DuckDB at the last ulp,
+    # so the checked output is the neighbor identity + rank (the reference's
+    # kNN tests also assert the neighbor set, KNearestNeighborSearchProcessTest)
+    return out.select("qid", "event_id", "knn_rank")
+
+
+Q_KNN_SQL = f"""
+{GEO}, q AS (
+  SELECT * FROM (VALUES
+    ('q_cluster', 46.0, 25.0), ('q_origin', 0.0, 0.0),
+    ('q_antimeridian', 179.5, 10.0), ('q_near_pole', 30.0, 88.0),
+    ('q_mid', -60.0, -30.0)) AS t(qid, qlon, qlat)
+), ranked AS (
+  SELECT q.qid, geo.event_id,
+         {_haversine_sql('geo.lon', 'geo.lat', 'q.qlon', 'q.qlat')} AS d,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+             {_haversine_sql('geo.lon', 'geo.lat', 'q.qlon', 'q.qlat')}) AS rnk
+  FROM geo CROSS JOIN q
+)
+SELECT qid, event_id, cast(rnk as int) AS knn_rank FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density grid (heatmap) over the cluster bbox, 256x256."""
+    df = geo_events(spark, sf_dir)
+    return (density(df, BBOX, 256, 256)
+            .select("px", "py", F.round("weight", 1).alias("weight")))
+
+
+Q_DENSITY_SQL = f"""
+{GEO}, g AS (
+  SELECT least(cast(floor((lon - 40.0) / 10.0 * 256) as bigint), 255) AS px,
+         least(cast(floor((lat - 20.0) / 10.0 * 256) as bigint), 255) AS py
+  FROM geo
+  WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
+)
+SELECT cast(px as int) AS px, cast(py as int) AS py,
+       round(cast(count(*) as double), 1) AS weight
+FROM g GROUP BY px, py
+"""
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile pyramid zooms 0-4, 256px tiles, one pass."""
+    df = geo_events(spark, sf_dir)
+    t = tile_pyramid(df, [0, 1, 2, 3, 4], tile_px=256)
+    return t.select("zoom", "tx", "ty", "px", "py", "cnt")
+
+
+Q_TILE_PYRAMID_SQL = f"""
+{GEO}, z AS (SELECT unnest([0, 1, 2, 3, 4]) AS zoom),
+g AS (
+  SELECT z.zoom,
+         least(cast(floor((lon + 180.0) / 360.0 * ((1::BIGINT << zoom) * 256)) as bigint),
+               (1::BIGINT << zoom) * 256 - 1) AS gx,
+         least(cast(floor((lat + 90.0) / 180.0 * ((1::BIGINT << zoom) * 256)) as bigint),
+               (1::BIGINT << zoom) * 256 - 1) AS gy
+  FROM geo CROSS JOIN z
+)
+SELECT cast(zoom as int) AS zoom,
+       cast(gx // 256 as int) AS tx, cast(gy // 256 as int) AS ty,
+       cast(gx % 256 as int) AS px, cast(gy % 256 as int) AS py,
+       count(*) AS cnt
+FROM g GROUP BY zoom, gx // 256, gy // 256, gx % 256, gy % 256
+"""
+
+
+def q_z2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index encoding itself: 62-bit Z2 per event via native bit exprs."""
+    from geomesa_spark.functions.cell_functions import z2_col
+    df = geo_events(spark, sf_dir)
+    return df.select("event_id", z2_col(F.col("lon"), F.col("lat")).alias("z2"))
+
+
+Q_Z2_INDEX_SQL = f"""
+{GEO}
+SELECT event_id, {z2_sql('lon', 'lat')} AS z2 FROM geo
+"""
+
+
+def q_dwithin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: events within 300km (great-circle) of any anchor."""
+    df = geo_events(spark, sf_dir)
+    pred = None
+    for alon, alat in DWITHIN_ANCHORS:
+        d = _haversine_col(F.col("lon"), F.col("lat"), F.lit(alon), F.lit(alat))
+        p = d <= DWITHIN_RADIUS_M
+        pred = p if pred is None else (pred | p)
+    return df.where(pred).select("event_id")
+
+
+Q_DWITHIN_SQL = f"""
+{GEO}
+SELECT event_id FROM geo
+WHERE {_haversine_sql('lon', 'lat', '46.0', '25.0')} <= 300000.0
+   OR {_haversine_sql('lon', 'lat', '-120.0', '40.0')} <= 300000.0
+   OR {_haversine_sql('lon', 'lat', '10.0', '-60.0')} <= 300000.0
+"""
+
+
+def q_track_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrackLabelProcess: latest event per user (track)."""
+    df = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id"))
+
+
+Q_TRACK_LABEL_SQL = f"""
+{GEO}, r AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM geo
+)
+SELECT user_id, event_id FROM r WHERE rn = 1
+"""
+
+
+def q_point2point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point2PointProcess: per-track ordered polyline stats (segments +
+    great-circle length)."""
+    df = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = _haversine_col(F.lag("lon").over(w), F.lag("lat").over(w),
+                         F.col("lon"), F.col("lat"))
+    return (df.withColumn("seg_m", seg)
+            .groupBy("user_id")
+            .agg(F.count("seg_m").alias("n_segments"),
+                 F.round(F.sum("seg_m") / 1000.0, 1).alias("track_km")))
+
+
+Q_POINT2POINT_SQL = f"""
+{GEO}, s AS (
+  SELECT user_id,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+  FROM geo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) FILTER (WHERE plon IS NOT NULL) AS n_segments,
+       round(sum(CASE WHEN plon IS NULL THEN NULL
+                 ELSE {_haversine_sql('plon', 'plat', 'lon', 'lat')} END) / 1000.0, 1) AS track_km
+FROM s GROUP BY user_id
+"""
+
+
+def q_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueProcess / Enumeration: distinct values with counts."""
+    df = geo_events(spark, sf_dir)
+    return df.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+Q_UNIQUE_SQL = "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range histogram: fixed-width bins of `value` (Histogram stat)."""
+    df = geo_events(spark, sf_dir)
+    return (df.withColumn("bucket", F.floor(F.col("value") / 50.0).cast("int"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+Q_HISTOGRAM_SQL = ("SELECT cast(floor(value / 50.0) as int) AS bucket, count(*) AS cnt "
+                   "FROM events GROUP BY bucket")
+
+
+def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DescriptiveStats: count/min/max/mean/variance per event_type."""
+    df = geo_events(spark, sf_dir)
+    return (df.groupBy("event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.min("value"), 6).alias("min_v"),
+                 F.round(F.max("value"), 6).alias("max_v"),
+                 F.round(F.avg("value"), 6).alias("avg_v"),
+                 F.round(F.var_samp("value"), 4).alias("var_v")))
+
+
+Q_STATS_SUMMARY_SQL = """
+SELECT event_type, count(*) AS cnt,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v, round(var_samp(value), 4) AS var_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SamplingIterator: systematic 1-in-10 per track (user)."""
+    df = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") % 10) == 1)
+            .select("event_id"))
+
+
+Q_SAMPLING_SQL = f"""
+{GEO}, r AS (
+  SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM geo
+)
+SELECT event_id FROM r WHERE rn % 10 = 1
+"""
+
+
+def q_min_max_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMax stat on the temporal attribute (epoch seconds for hashing)."""
+    df = geo_events(spark, sf_dir)
+    return df.agg(F.min(F.unix_timestamp("ts")).alias("min_ts"),
+                  F.max(F.unix_timestamp("ts")).alias("max_ts"),
+                  F.count("*").alias("cnt"))
+
+
+Q_MIN_MAX_TIME_SQL = ("SELECT cast(epoch(min(ts)) as bigint) AS min_ts, "
+                      "cast(epoch(max(ts)) as bigint) AS max_ts, count(*) AS cnt FROM events")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "bbox_during": (q_bbox_during, Q_BBOX_DURING_SQL),
+    "polygon_filter": (q_polygon_filter, Q_POLYGON_FILTER_SQL),
+    "pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
+    "knn": (q_knn, Q_KNN_SQL),
+    "density": (q_density, Q_DENSITY_SQL),
+    "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+    "z2_index": (q_z2_index, Q_Z2_INDEX_SQL),
+    "dwithin": (q_dwithin, Q_DWITHIN_SQL),
+    "track_label": (q_track_label, Q_TRACK_LABEL_SQL),
+    "point2point": (q_point2point, Q_POINT2POINT_SQL),
+    "unique": (q_unique, Q_UNIQUE_SQL),
+    "histogram": (q_histogram, Q_HISTOGRAM_SQL),
+    "stats_summary": (q_stats_summary, Q_STATS_SUMMARY_SQL),
+    "sampling": (q_sampling, Q_SAMPLING_SQL),
+    "min_max_time": (q_min_max_time, Q_MIN_MAX_TIME_SQL),
+}

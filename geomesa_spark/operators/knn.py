@@ -1,0 +1,201 @@
+"""kNN via cell-ring expansion + exact great-circle refine.
+
+Spark reimplementation of the reference's expanding-window kNN search
+(KNearestNeighborSearchProcess.scala:92-212: initial window estimate, ring
+expansion with hole exclusion :225-303, exact geodesic refine into a fixed-k
+buffer :315-396):
+
+1. every data point carries a grid cell (native expression, one per point);
+2. per query point, candidate cells = disk(query cell, r); r starts from a
+   density-based estimate and doubles until every query point has >= k
+   candidates (driver-side counts on a tiny aggregate — the reference's
+   iterative window expansion);
+3. guarantee pass: after the provisional k-th distance d_k is known, the
+   disk is expanded to fully contain the d_k radius (in cells), and only the
+   NEW cells are scanned (hole exclusion);
+4. exact haversine refine + per-query top-k window
+   (row_number over dist — the reference's replace-farthest k-buffer).
+
+Query points are broadcast (they are small); the fact table is scanned with
+an IN-set cell predicate that prunes partitions/files.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.cells import grid
+from geomesa_spark.functions.cell_functions import cell_col
+
+M_PER_DEG_LAT = 111_195.0  # spherical: pi/180 * R
+
+
+def cells_covering_radius(qlon: float, qlat: float, res: int, radius_m: float) -> list[int]:
+    """All cells intersecting the metric disk around (qlon, qlat).
+
+    Handles pole overflow (include full polar rows) and antimeridian wrap
+    (reference envelope wrap: KNearestNeighborSearchProcess.scala:527-547).
+    """
+    n = 1 << res
+    cell_h_deg = 180.0 / n
+    rad_deg_lat = radius_m / M_PER_DEG_LAT
+    lat_lo, lat_hi = qlat - rad_deg_lat, qlat + rad_deg_lat
+    iy0 = max(0, int((max(lat_lo, -90.0) + 90.0) / cell_h_deg))
+    iy1 = min(n - 1, int((min(lat_hi, 89.999999) + 90.0) / cell_h_deg))
+    out = set()
+    _, qix, _ = grid.cell_xy(grid.cell_id(qlon, qlat, res))
+    for iy in range(iy0, iy1 + 1):
+        # widest |lat| edge of this cell row governs the lon shrink factor
+        row_lat_edge = max(abs(-90.0 + iy * cell_h_deg), abs(-90.0 + (iy + 1) * cell_h_deg))
+        cosl = math.cos(math.radians(min(row_lat_edge, 89.9999)))
+        rad_deg_lon = rad_deg_lat / max(cosl, 1e-9)
+        span_cells = int(rad_deg_lon / (360.0 / n)) + 1
+        if span_cells * 2 + 1 >= n:
+            for ix in range(n):
+                out.add(grid.from_xy(res, ix, iy))
+        else:
+            for dx in range(-span_cells, span_cells + 1):
+                out.add(grid.from_xy(res, (qix + dx) % n, iy))
+    if lat_lo < -90.0 or lat_hi > 90.0:
+        # disk crosses a pole: the whole polar row set within reach
+        rows = range(0, iy0 + 1) if lat_lo < -90.0 else range(iy1, n)
+        for iy in rows:
+            for ix in range(n):
+                out.add(grid.from_xy(res, ix, iy))
+    return sorted(out)
+
+
+def _pick_res(total_rows: int, k: int) -> int:
+    """Resolution where one cell holds ~4k points on average (uniform est.) —
+    the density-based initial window of the reference (:293-299)."""
+    if total_rows <= 0:
+        return 4
+    cells_needed = max(total_rows / (4.0 * max(k, 1)), 1.0)
+    res = int(math.log(cells_needed, 4) / 1.0)
+    return max(2, min(res, 12))
+
+
+def knn_join(points: DataFrame, query_points: list[tuple], k: int, *,
+             lon_col: str = "lon", lat_col: str = "lat",
+             res: int | None = None, id_cols: list[str] | None = None,
+             max_iterations: int = 6) -> DataFrame:
+    """Exact k nearest data points per query point.
+
+    ``query_points``: [(qid, lon, lat)]. Returns one row per (qid, neighbor)
+    with ``dist_m`` and ``knn_rank``.
+    """
+    spark = points.sparkSession
+    if res is None:
+        res = _pick_res(points.count(), k)
+
+    pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res)).cache()
+    try:
+        return _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res,
+                          max_iterations)
+    finally:
+        pts.unpersist()
+
+
+def _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res, max_iterations):
+    n = 1 << res
+    q_cells = {qid: grid.cell_id(qlon, qlat, res) for qid, qlon, qlat in query_points}
+    q_pos = {qid: (qlon, qlat) for qid, qlon, qlat in query_points}
+
+    # --- phase 1: expand disks until every query point has >= k candidates
+    radius = {qid: 1 for qid in q_cells}
+    scanned: dict = {qid: set() for qid in q_cells}
+    pending = set(q_cells)
+    for _ in range(max_iterations):
+        grew = False
+        for qid in pending:
+            new_cells = set(grid.disk(q_cells[qid], radius[qid])) - scanned[qid]
+            if new_cells:
+                grew = True
+            scanned[qid].update(new_cells)
+            radius[qid] *= 2
+        counts = _cum_counts(spark, pts, {q: scanned[q] for q in pending})
+        pending = {qid for qid in pending
+                   if counts.get(qid, 0) < k and len(scanned[qid]) < n * n}
+        if not pending or not grew:
+            break
+
+    # --- phase 2: provisional top-k, then guarantee radius
+    all_rows = [(qid, c) for qid, cells in scanned.items() for c in cells]
+    cand_df = spark.createDataFrame(all_rows, "qid string, __cell long")
+    qdf = spark.createDataFrame([(qid, x, y) for qid, (x, y) in q_pos.items()],
+                                "qid string, qlon double, qlat double")
+    joined = (pts.join(F.broadcast(cand_df), "__cell")
+                 .join(F.broadcast(qdf), "qid"))
+    dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
+    w = Window.partitionBy("qid").orderBy("dist_m")
+    provisional = (joined.withColumn("dist_m", dist)
+                   .withColumn("knn_rank", F.row_number().over(w))
+                   .where(F.col("knn_rank") <= k))
+    dk = {r["qid"]: r["dk"] for r in
+          provisional.groupBy("qid").agg(F.max("dist_m").alias("dk")).collect()}
+
+    # hole exclusion: scan only cells needed for the d_k guarantee not yet seen
+    extra_rows = []
+    for qid, d in dk.items():
+        qlon, qlat = q_pos[qid]
+        needed = set(cells_covering_radius(qlon, qlat, res, d * 1.0000001))
+        extra = needed - scanned[qid]
+        extra_rows.extend((qid, c) for c in extra)
+
+    if extra_rows:
+        extra_df = spark.createDataFrame(extra_rows, "qid string, __cell long")
+        extra_joined = (pts.join(F.broadcast(extra_df), "__cell")
+                        .join(F.broadcast(qdf), "qid"))
+        union = joined.unionByName(extra_joined)
+    else:
+        union = joined
+
+    final = (union.withColumn("dist_m", dist)
+             .withColumn("knn_rank", F.row_number().over(w))
+             .where(F.col("knn_rank") <= k)
+             .drop("__cell", "qlon", "qlat"))
+    return final
+
+
+def _cum_counts(spark, pts, scanned) -> dict:
+    rows = [(qid, c) for qid, cells in scanned.items() for c in cells]
+    if not rows:
+        return {}
+    df = spark.createDataFrame(rows, "qid string, __cell long")
+    counted = (pts.join(F.broadcast(df), "__cell").groupBy("qid")
+               .agg(F.count("*").alias("cnt")).collect())
+    out = {qid: 0 for qid in scanned}
+    for r in counted:
+        out[r["qid"]] = r["cnt"]
+    return out
+
+
+def _haversine_col(lon1, lat1, lon2, lat2):
+    """Native haversine (meters) — pure Catalyst, matches algos.haversine_m."""
+    r1lon, r1lat = F.radians(lon1), F.radians(lat1)
+    r2lon, r2lat = F.radians(lon2), F.radians(lat2)
+    a = (F.pow(F.sin((r2lat - r1lat) / 2), 2)
+         + F.cos(r1lat) * F.cos(r2lat) * F.pow(F.sin((r2lon - r1lon) / 2), 2))
+    from geomesa_spark.geom.algos import EARTH_RADIUS_M
+    # clamp without F.least: least() ignores nulls and would turn a null
+    # distance (null input coords) into asin(1)
+    clamped = F.when(a > 1.0, F.lit(1.0)).otherwise(a)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(clamped))
+
+
+def knn_brute_force(points: DataFrame, query_points: list[tuple], k: int, *,
+                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Broadcast nested-loop kNN — the oracle/baseline path."""
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(query_points, "qid string, qlon double, qlat double")
+    dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
+    w = Window.partitionBy("qid").orderBy("dist_m")
+    return (points.crossJoin(F.broadcast(qdf))
+            .withColumn("dist_m", dist)
+            .withColumn("knn_rank", F.row_number().over(w))
+            .where(F.col("knn_rank") <= k)
+            .drop("qlon", "qlat"))

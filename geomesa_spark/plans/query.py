@@ -1,0 +1,139 @@
+"""SpatialQuery: the engine's query API (ECQL-equivalent surface).
+
+Compiles bbox / geometry / interval / attribute predicates into Catalyst
+expressions the same way the reference's QueryPlanner splits filters into
+index primary + residual (planning/FilterSplitter.scala:61-147):
+
+* bbox and interval -> native range predicates (pushed to parquet/Iceberg
+  scans by Catalyst: PushedFilters + partition pruning),
+* optional z2/cell column -> coarse SFC range predicate (file skipping),
+* polygon refine -> ONE Arrow-batched numpy kernel over (lon, lat) — the
+  'residual filter' — skipped entirely when the query geometry is its own
+  bbox (the reference's exact-ranges shortcut,
+  Z3IndexKeySpace.useFullFilter:240-254).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from geomesa_spark.geom import algos, model, wkt
+from geomesa_spark.plans import cover, guards
+
+
+def _as_geometry(g) -> model.Geometry:
+    if isinstance(g, model.Geometry):
+        return g
+    if isinstance(g, str):
+        return wkt.wkt_loads(g)
+    raise TypeError(f"geometry must be WKT or Geometry, got {type(g)}")
+
+
+def _is_rectangle(g: model.Geometry) -> bool:
+    if not isinstance(g, model.Polygon) or g.holes:
+        return False
+    if len(g.shell) != 5:
+        return False
+    xmin, ymin, xmax, ymax = g.bounds
+    corners = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
+    return {(float(x), float(y)) for x, y in g.shell[:-1]} == corners
+
+
+def points_in_geometry_udf(geom: model.Geometry):
+    """Vectorized residual filter: (lon,lat) series -> bool, no WKB parsing."""
+
+    def refine(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(algos.points_intersect(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), geom))
+
+    return F.pandas_udf(refine, BooleanType())
+
+
+def points_dwithin_udf(geom: model.Geometry, distance_deg: float):
+    def refine(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(algos.points_dwithin(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), geom, distance_deg))
+
+    return F.pandas_udf(refine, BooleanType())
+
+
+@dataclass
+class SpatialQuery:
+    """Declarative spatio-temporal query over a point table.
+
+    Attributes mirror the reference's Query(typeName, filter, properties):
+    ``geometry`` is INTERSECTS, ``bbox`` is BBOX, ``interval`` is DURING,
+    ``where`` is any residual attribute predicate (SQL), ``select`` is the
+    projection (transform), ``limit`` is maxFeatures.
+    """
+
+    bbox: Optional[tuple] = None
+    geometry: Optional[Union[str, model.Geometry]] = None
+    dwithin: Optional[tuple] = None            # (geometry, distance_degrees)
+    interval: Optional[tuple] = None           # (lo, hi) timestamps/strings
+    where: Optional[str] = None
+    select: Optional[list] = None
+    limit: Optional[int] = None
+    lon_col: str = "lon"
+    lat_col: str = "lat"
+    ts_col: str = "ts"
+    z2_col: Optional[str] = None               # name of a z2 column, if present
+    allow_full_scan: bool = False
+
+    def predicate(self, df: DataFrame) -> Optional[Column]:
+        lon, lat = F.col(self.lon_col), F.col(self.lat_col)
+        preds: list[Column] = []
+        boxes: list[tuple] = []
+
+        geom = _as_geometry(self.geometry) if self.geometry is not None else None
+        bbox = tuple(self.bbox) if self.bbox is not None else (geom.bounds if geom is not None else None)
+
+        guards.check_guards(bbox=bbox, interval=self.interval,
+                            allow_full_scan=self.allow_full_scan or self.where is not None)
+
+        if bbox is not None:
+            xmin, ymin, xmax, ymax = bbox
+            preds.append(lon.between(xmin, xmax) & lat.between(ymin, ymax))
+            boxes.append(bbox)
+            if self.z2_col is not None and self.z2_col in df.columns:
+                preds.append(cover.z2_range_predicate(F.col(self.z2_col), boxes))
+            # residual exact refine, skipped for rectangles (exact ranges)
+            if geom is not None and not _is_rectangle(geom):
+                preds.append(points_in_geometry_udf(geom)(lon, lat))
+
+        if self.dwithin is not None:
+            g, d = self.dwithin
+            g = _as_geometry(g)
+            gx0, gy0, gx1, gy1 = g.bounds
+            preds.append(lon.between(gx0 - d, gx1 + d) & lat.between(gy0 - d, gy1 + d))
+            preds.append(points_dwithin_udf(g, d)(lon, lat))
+
+        if self.interval is not None:
+            lo, hi = self.interval
+            preds.append(F.col(self.ts_col).between(F.lit(lo), F.lit(hi)))
+
+        if self.where is not None:
+            preds.append(F.expr(self.where))
+
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        pred = self.predicate(df)
+        out = df if pred is None else df.where(pred)
+        if self.select:
+            out = out.selectExpr(*self.select)
+        if self.limit:
+            out = out.limit(self.limit)
+        return out
