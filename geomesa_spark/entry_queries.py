@@ -49,7 +49,7 @@ DWITHIN_ANCHORS = [(46.0, 25.0), (-120.0, 40.0), (10.0, -60.0)]
 DWITHIN_RADIUS_M = 300_000.0
 
 BBOX = (40.0, 20.0, 50.0, 30.0)
-INTERVAL = ("2021-01-01 00:00:00", "2023-01-01 00:00:00")
+INTERVAL = ("2024-01-05 00:00:00", "2024-01-20 00:00:00")  # events span 2024-01
 
 
 def _haversine_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
@@ -101,7 +101,7 @@ Q_BBOX_DURING_SQL = f"""
 {GEO}
 SELECT event_id, event_type, user_id FROM geo
 WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
-  AND ts BETWEEN TIMESTAMP '2021-01-01 00:00:00' AND TIMESTAMP '2023-01-01 00:00:00'
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
 """
 
 

