@@ -373,6 +373,8 @@ Q_MIN_MAX_TIME_SQL = ("SELECT cast(epoch(min(ts)) as bigint) AS min_ts, "
 # registry
 # ---------------------------------------------------------------------------
 
+from geomesa_spark.entry_queries_pipeline import PIPELINE_QUERIES
+
 QUERIES = {
     "bbox_during": (q_bbox_during, Q_BBOX_DURING_SQL),
     "polygon_filter": (q_polygon_filter, Q_POLYGON_FILTER_SQL),
@@ -389,4 +391,5 @@ QUERIES = {
     "stats_summary": (q_stats_summary, Q_STATS_SUMMARY_SQL),
     "sampling": (q_sampling, Q_SAMPLING_SQL),
     "min_max_time": (q_min_max_time, Q_MIN_MAX_TIME_SQL),
+    **PIPELINE_QUERIES,
 }

@@ -1,0 +1,332 @@
+"""Training-data-pipeline query catalog: dedup / text analysis / ANN.
+
+Same contract as entry_queries.QUERIES: each entry is (spark_fn, oracle_sql).
+Spark side runs the real operators (operators/dedup.py, text.py, ann.py);
+the DuckDB oracle mirrors every hash/fold formula via functions/portable.py
+so values match bit-for-bit (ratios are floor-scaled ints, never round()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import portable as pt
+from geomesa_spark.operators import ann, dedup, text
+from geomesa_spark.sources import documents as docsrc
+
+D = pt.DUCK
+
+# shared oracle CTEs -------------------------------------------------------
+
+CORPUS = f"WITH corpus AS ({docsrc.corpus_sql(D)})"
+VECS = f"WITH vecs AS ({docsrc.vectors_sql(D)})"
+
+# tokens -> token hashes -> distinct shingles, as chained CTEs
+_TOK_CTES = f"""
+tk AS (
+  SELECT doc_id, {pt.token_hashes(pt.tokens('text', D), D)} AS th FROM corpus
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({pt.shingle_hashes('th', D)}) AS sh FROM tk
+)"""
+
+
+def _jaccard_tail(cand_cte: str, thresh: float) -> str:
+    """Shared oracle tail: exact Jaccard over candidate pairs from sh."""
+    return f"""
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM {cand_cte} c
+  JOIN sh s1 ON s1.doc_id = c.id_a
+  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       CAST(floor(i / (na.n + nb.n - i) * 1e6) AS BIGINT) AS jac_ppm
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE i / (na.n + nb.n - i) >= {thresh!r}"""
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groups with >1 copy (planted duplicates)."""
+    return dedup.exact_dedup(docsrc.corpus(spark, sf_dir))
+
+
+Q_EXACT_DEDUP_SQL = f"""
+{CORPUS}
+SELECT md5(text) AS dup_key, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index self-join."""
+    return dedup.jaccard_pairs(docsrc.corpus(spark, sf_dir), threshold=0.5)
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+{CORPUS},
+{_TOK_CTES},
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+{_jaccard_tail('cand', 0.5)}
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (16 hashes, 4x4 bands) candidates + exact-Jaccard >=0.4."""
+    return dedup.minhash_lsh_pairs(docsrc.corpus(spark, sf_dir), threshold=0.4)
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(f"{pt.minhash_min('sh', j)} AS m{j}"
+                     for j in range(pt.MINHASH_K))
+    band_selects = []
+    rows = pt.MINHASH_K // 4
+    for b in range(4):
+        cols = ", ".join(f"m{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS key FROM mh")
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+{CORPUS},
+{_TOK_CTES},
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+{_jaccard_tail('cand', 0.4)}
+"""
+
+
+Q_MINHASH_LSH_SQL = _minhash_oracle()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per doc (token multiset bit votes)."""
+    return dedup.simhash(docsrc.corpus(spark, sf_dir))
+
+
+Q_SIMHASH_SQL = f"""
+{CORPUS},
+tk AS (
+  SELECT doc_id, {pt.token_hashes(pt.tokens('text', D), D)} AS th FROM corpus
+),
+tokx AS (SELECT doc_id, unnest(th) AS h FROM tk),
+votes AS (
+  SELECT doc_id, bits.b,
+         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokx CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+  GROUP BY doc_id, bits.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.text_quality(docsrc.corpus(spark, sf_dir))
+
+
+_SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+Q_TEXT_QUALITY_SQL = f"""
+{CORPUS},
+m AS (
+  SELECT doc_id, text,
+         {pt.tokens('text', D)} AS tokens,
+         length(replace(replace(text, ' ', ''), ',', '')) AS n_alpha,
+         length(text) - length(replace(text, ',', '')) AS n_punct
+  FROM corpus
+),
+mm AS (
+  SELECT doc_id, text, n_alpha, n_punct, len(tokens) AS n_tok,
+         len(list_filter(tokens, t -> list_contains([{_SW}], t))) AS n_stop
+  FROM m
+)
+SELECT doc_id, n_tok,
+       CAST(floor(n_alpha * 1000.0e0 / n_tok) AS BIGINT) AS mean_tok_len_milli,
+       CAST(floor(n_stop * 1e6 / n_tok) AS BIGINT) AS stop_ppm,
+       CAST(floor(n_punct * 1e6 / length(text)) AS BIGINT) AS punct_ppm,
+       CAST(floor(least(n_tok, 100) * 10000.0e0 / 100.0e0
+                  + floor(n_stop * 1e6 / n_tok) / 2.0e0
+                  - floor(n_punct * 1e6 / length(text)) / 4.0e0) AS BIGINT)
+         AS quality_ppm
+FROM mm
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(docsrc.corpus(spark, sf_dir))
+
+
+Q_TOKEN_COUNT_SQL = f"""
+{CORPUS}
+SELECT doc_id,
+       len({pt.tokens('text', D)}) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]{{1,4}}')) AS bpe_tokens
+FROM corpus
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(docsrc.corpus(spark, sf_dir))
+
+
+Q_FINGERPRINT_SQL = f"""
+{CORPUS}
+SELECT doc_id, {pt.char_fold('text', D)} AS fp FROM corpus
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.langid(docsrc.corpus(spark, sf_dir))
+
+
+Q_LANGID_SQL = f"""
+{CORPUS},
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, length(text)),
+                i -> ord(substring(text, i, 1)) * 256
+                     + ord(substring(text, i + 1, 1)))) AS bg
+  FROM corpus
+),
+totals AS (SELECT lang, count(*) AS tot FROM bg GROUP BY lang),
+profile AS (
+  SELECT c.lang AS cand_lang, c.bg,
+         CAST(floor(c.c * 1e6 / t.tot) AS BIGINT) AS w
+  FROM (SELECT lang, bg, count(*) AS c FROM bg GROUP BY lang, bg) c
+  JOIN totals t ON t.lang = c.lang
+),
+scores AS (
+  SELECT bg.doc_id, p.cand_lang, CAST(sum(p.w) AS BIGINT) AS score
+  FROM bg JOIN profile p ON p.bg = bg.bg
+  GROUP BY bg.doc_id, p.cand_lang
+),
+ranked AS (
+  SELECT doc_id, cand_lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand_lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, cand_lang AS pred_lang, score FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN / embeddings
+# --------------------------------------------------------------------------
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({pt.dot_product(a, b, D)}) / "
+            f"(sqrt({pt.dot_product(a, a, D)}) * sqrt({pt.dot_product(b, b, D)}))")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors (the exact baseline)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_topk(embs, embs.where("vec_id < 5"), k=5)
+
+
+Q_ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {_cos_sql('e.embedding', 'q.qvec')} AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-hyperplane LSH ANN: probe only the query's bucket (scale path)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
+
+
+Q_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {ann.bucket_sql_expr('embedding', D)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         {_cos_sql('b.embedding', 'q.qvec')} AS sim
+  FROM b JOIN q USING (bucket) WHERE b.vec_id != q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dups (cos >= 0.99): bucket join + exact-cosine refine."""
+    return ann.near_dup_pairs(docsrc.vectors(spark, sf_dir), threshold=0.99)
+
+
+Q_EMBED_NEAR_DUP_SQL = f"""
+{VECS},
+b AS (
+  SELECT vec_id, embedding,
+         {ann.bucket_sql_expr('embedding', D)} AS bucket
+  FROM vecs
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, z.vec_id AS id_b,
+         {_cos_sql('a.embedding', 'z.embedding')} AS sim
+  FROM b a JOIN b z ON a.bucket = z.bucket AND a.vec_id < z.vec_id
+)
+SELECT id_a, id_b, CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm
+FROM pairs WHERE sim >= 0.99e0
+"""
+
+
+PIPELINE_QUERIES = {
+    "exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
+    "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
+    "minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
+    "simhash": (q_simhash, Q_SIMHASH_SQL),
+    "text_quality": (q_text_quality, Q_TEXT_QUALITY_SQL),
+    "token_count": (q_token_count, Q_TOKEN_COUNT_SQL),
+    "doc_fingerprint": (q_fingerprint, Q_FINGERPRINT_SQL),
+    "langid": (q_langid, Q_LANGID_SQL),
+    "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "embed_near_dup": (q_embed_near_dup, Q_EMBED_NEAR_DUP_SQL),
+}

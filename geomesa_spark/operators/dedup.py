@@ -1,0 +1,175 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All hot paths are pure Catalyst expressions (higher-order array functions,
+whole-stage codegen) — no Python UDFs.  The same hash formulas exist in
+DuckDB dialect (functions/portable.py) so every operator is oracle-checkable
+bit-for-bit.
+
+Scale design (100 TB corpus):
+* exact_dedup      — one shuffle on md5(text); map-side partial agg.
+* shingle set      — explode + distinct: shuffle keyed on (doc_id, shingle).
+* jaccard_pairs    — inverted-index self-join on shingle id (NOT a cross
+  join): candidate pairs are only docs sharing >=1 shingle; `max_df` drops
+  ubiquitous shingles to bound the quadratic blowup on hot shingles (the
+  standard stop-shingle cap; same role as GeoMesa's hot-cell salting,
+  ShardStrategy.scala:75-83).
+* minhash_lsh      — fixed-size signature per doc (16 mins), banded 4x4:
+  candidate generation joins on (band, key) — O(near-dups), not O(n^2) —
+  then exact-Jaccard verification on the candidates only.
+* simhash          — 32-bit signature via bit-vote aggregation; signature
+  equality/banding gives O(n log n) near-dup clustering.
+
+Reference parity: GeoMesa has no text dedup; the analog is its stats
+Enumeration/TopK distinct machinery (utils/stats/EnumerationStat.scala:23)
+and murmur/md5 feature-id hashing (convert2/transforms/IdFunctionFactory
+.scala); MinHash banding mirrors Broder '97 / Leskovec MMDS ch.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import portable as pt
+
+
+def _with_shingles(df: DataFrame, text_col: str, d: str = pt.SPARK) -> DataFrame:
+    """Adds `tokens`, `th` (token hashes), `shingles` (3-gram hash array)."""
+    return (df
+            .withColumn("tokens", F.expr(pt.tokens(text_col, d)))
+            .withColumn("th", F.expr(pt.token_hashes("tokens", d)))
+            .withColumn("shingles", F.expr(pt.shingle_hashes("th", d))))
+
+
+def shingle_set(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle-hash) rows — the inverted-index input."""
+    return (_with_shingles(df, text_col)
+            .select(id_col, F.explode("shingles").alias("sh"))
+            .distinct())
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns (dup_key md5, canonical_id = min id, n_copies) for groups with
+    more than one member.  One shuffle; partial agg map-side.
+    """
+    return (df.groupBy(F.md5(F.col(text_col)).alias("dup_key"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_copies"))
+            .where(F.col("n_copies") > 1))
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Returns (id_a < id_b, jac) with jac >= threshold.  `max_df` (optional)
+    drops shingles appearing in more than max_df docs before pairing.
+    """
+    sh = shingle_set(df, id_col, text_col)
+    if max_df is not None:
+        hot = (sh.groupBy("sh").count()
+               .where(F.col("count") > max_df).select("sh"))
+        sh = sh.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (a.join(b, "sh")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_int")))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (F.col("n_int").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_int")))
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jac", jac)
+            .where(F.col("jac") >= threshold)
+            .select("id_a", "id_b",
+                    F.floor(F.col("jac") * 1e6).cast("long").alias("jac_ppm")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc MinHash signature columns m0..m{K-1} (K=16)."""
+    sh = shingle_set(df, id_col, text_col)
+    aggs = [F.expr(pt.minhash_min("sh", j)).alias(f"m{j}")
+            for j in range(pt.MINHASH_K)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bands: int = 4) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard >= threshold.
+
+    Signature of 16 mins banded into `bands` rows-per-band groups; docs
+    sharing any band key become candidates; candidates are verified against
+    the exact shingle-set Jaccard (so precision is exact; recall is the LSH
+    banding recall — deterministic, reproduced verbatim by the oracle).
+    """
+    rows = pt.MINHASH_K // bands
+    sig = minhash_signatures(df, id_col, text_col)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("-", *[F.col(f"m{b * rows + r}").cast("string")
+                                    for r in range(rows)]).alias("key"))
+        for b in range(bands)]
+    bands_df = (sig.select(F.col(id_col),
+                           F.explode(F.array(*band_structs)).alias("bk"))
+                .select(id_col, F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    la = bands_df.select(F.col(id_col).alias("id_a"), "band", "key")
+    lb = bands_df.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (la.join(lb, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+    # exact verify on candidates only: bring shingle sets as arrays
+    sets = (shingle_set(df, id_col, text_col)
+            .groupBy(id_col).agg(F.collect_set("sh").alias("shset"),
+                                 F.count("*").alias("n_sh")))
+    sa = sets.select(F.col(id_col).alias("id_a"),
+                     F.col("shset").alias("set_a"), F.col("n_sh").alias("n_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"),
+                     F.col("shset").alias("set_b"), F.col("n_sh").alias("n_b"))
+    n_int = F.size(F.array_intersect("set_a", "set_b"))
+    jac = n_int.cast("double") / (F.col("n_a") + F.col("n_b") - n_int)
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jac", jac)
+            .where(F.col("jac") >= threshold)
+            .select("id_a", "id_b",
+                    F.floor(F.col("jac") * 1e6).cast("long").alias("jac_ppm")))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash per document (token multiset, bit-vote aggregation)."""
+    tok = (_with_shingles(df, text_col)
+           .select(id_col, F.explode("th").alias("h")))
+    votes = (tok
+             .select(id_col, "h",
+                     F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"))
+             .withColumn("sign", F.when(
+                 F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)))
+             .groupBy(id_col, "b").agg(F.sum("sign").alias("s")))
+    return (votes
+            .withColumn("bit", F.when(F.col("s") > 0,
+                                      F.expr("CAST(1 AS BIGINT) << b"))
+                        .otherwise(F.lit(0)))
+            .groupBy(id_col).agg(F.sum("bit").alias("simhash")))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop every doc that near-duplicates a lower-id doc (greedy transitive).
+
+    `pairs` is any (id_a < id_b) near-dup pair set; docs appearing as id_b
+    are dropped.  One left-anti join — the standard fuzzy-dedup sweep.
+    """
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")

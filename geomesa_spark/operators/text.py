@@ -1,0 +1,110 @@
+"""Text-analysis operators: quality scoring, token counting, fingerprinting,
+n-gram language-ID.
+
+Pure Catalyst expressions throughout (whole-stage codegen); ratio outputs are
+floor-scaled integers (ppm / milli) instead of round() so the DuckDB oracle
+matches bit-for-bit regardless of rounding mode.
+
+Reference parity: GeoMesa's converter transforms (convert2/transforms/
+StringFunctionFactory.scala: strLen/regexReplace/..., IdFunctionFactory
+.scala: md5/murmur3_32) are the string-function surface these build on; the
+n-gram language scorer follows the classic Cavnar-Trenkle n-gram-profile
+method re-expressed as one groupBy + broadcast join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.functions import portable as pt
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def text_quality(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-doc quality metrics: token count, mean token length (milli),
+    stopword ratio (ppm), punctuation ratio (ppm), composite score (ppm).
+
+    Heuristics follow standard training-data quality filters (length,
+    stopword density, punctuation density).
+    """
+    d = pt.SPARK
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (df
+            .withColumn("tokens", F.expr(pt.tokens(text_col, d)))
+            .withColumn("n_tok", F.size("tokens"))
+            .withColumn("n_alpha", F.length(
+                F.expr(f"replace(replace({text_col}, ' ', ''), ',', '')")))
+            .withColumn("n_stop", F.expr(
+                f"size(filter(tokens, t -> array_contains(array({sw}), t)))"))
+            .withColumn("n_punct",
+                        F.length(text_col)
+                        - F.length(F.expr(f"replace({text_col}, ',', '')")))
+            .select(
+                id_col,
+                "n_tok",
+                F.floor(F.col("n_alpha") * 1000.0 / F.col("n_tok"))
+                 .cast("long").alias("mean_tok_len_milli"),
+                F.floor(F.col("n_stop") * 1e6 / F.col("n_tok"))
+                 .cast("long").alias("stop_ppm"),
+                F.floor(F.col("n_punct") * 1e6 / F.length(text_col))
+                 .cast("long").alias("punct_ppm"),
+                # composite: reward stopword presence, penalize punctuation,
+                # saturate length at 100 tokens — floor before cast (DuckDB
+                # CAST(double AS bigint) rounds; Spark truncates)
+                F.floor(F.least(F.col("n_tok"), F.lit(100)) * 10000.0 / 100.0
+                        + F.floor(F.col("n_stop") * 1e6 / F.col("n_tok")) / 2.0
+                        - F.floor(F.col("n_punct") * 1e6 / F.length(text_col)) / 4.0)
+                .cast("long").alias("quality_ppm")))
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (<=4-char greedy chunks)."""
+    return (df
+            .withColumn("ws_tokens", F.size(F.expr(pt.tokens(text_col, pt.SPARK))))
+            .withColumn("bpe_tokens", F.expr(f"regexp_count({text_col}, '[a-z]{{1,4}}')"))
+            .select(id_col, "ws_tokens", "bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash of the full text -> bigint (content fingerprint)."""
+    return df.select(id_col, F.expr(pt.char_fold(text_col, pt.SPARK)).alias("fp"))
+
+
+def _char_bigrams(text_col: str) -> str:
+    """Catalyst expr: array of char-bigram hashes (= fold of 2 chars)."""
+    # bigram hash = ascii(c1)*256 + ascii(c2): cheap, portable, collision-free
+    return (f"transform(sequence(1, length({text_col}) - 1), "
+            f"i -> ascii(substring({text_col}, i, 1)) * 256 "
+            f"+ ascii(substring({text_col}, i + 1, 1)))")
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """N-gram-profile language ID (Cavnar-Trenkle style, integer-scored).
+
+    Profiles are learned from the corpus itself: weight(bigram, lang) =
+    floor(1e6 * count(bigram, lang) / total(lang)).  Each doc is scored by
+    the multiset sum of weights, predicted lang = argmax (tie-break: lang
+    asc).  Profiles are tiny (langs x bigrams) -> broadcast join; the scoring
+    pass is one explode + groupBy.
+    """
+    bg = (docs
+          .withColumn("bg", F.explode(F.expr(_char_bigrams(text_col))))
+          .select(id_col, lang_col, "bg"))
+    totals = bg.groupBy(lang_col).agg(F.count("*").alias("tot"))
+    profile = (bg.groupBy(lang_col, "bg").agg(F.count("*").alias("c"))
+               .join(totals, lang_col)
+               .select(F.col(lang_col).alias("cand_lang"), "bg",
+                       F.floor(F.col("c") * 1e6 / F.col("tot"))
+                       .cast("long").alias("w")))
+    scores = (bg.join(F.broadcast(profile), "bg")
+              .groupBy(id_col, "cand_lang").agg(F.sum("w").alias("score")))
+    win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand_lang"))
+    return (scores.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(id_col, F.col("cand_lang").alias("pred_lang"), "score"))

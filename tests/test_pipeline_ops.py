@@ -1,0 +1,124 @@
+"""Unit tests for the training-data pipeline operators (dedup / text / ANN).
+
+Oracle parity is covered by test_oracle_parity.py; these assert the operator
+semantics directly: planted duplicates are recovered exactly, LSH candidates
+verify against exact Jaccard, and the Arrow fast path agrees with the
+expression fold path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import ann, dedup, text
+from geomesa_spark.sources import documents as docsrc
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return docsrc.corpus(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    return docsrc.vectors(spark, sf_dir).cache()
+
+
+def test_exact_dedup_finds_planted(spark, sf_dir, corpus):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.where(f"doc_id % {docsrc.EXACT_MOD} = 1").count()
+    out = dedup.exact_dedup(corpus).collect()
+    assert len(out) == planted
+    for r in out:
+        assert r.n_copies == 2
+        # canonical is the original (lower id), not the planted copy
+        assert r.canonical_id < docsrc.EXACT_OFF
+
+
+def test_jaccard_pairs_recover_near_dups(spark, sf_dir, corpus):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    near_ids = {r.doc_id for r in
+                docs.where(f"doc_id % {docsrc.NEAR_MOD} = 3").select("doc_id").collect()}
+    pairs = dedup.jaccard_pairs(corpus, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for i in near_ids:
+        assert (i, i + docsrc.NEAR_OFF) in got, f"missing near-dup pair for {i}"
+    # 80%-prefix implies Jaccard >= ~0.75 for uniform shingles
+    planted = [r for r in pairs if r.id_b - r.id_a == docsrc.NEAR_OFF]
+    assert min(p.jac_ppm for p in planted) > 500_000
+
+
+def test_minhash_pairs_subset_of_exact(corpus):
+    lsh = {(r.id_a, r.id_b) for r in
+           dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             dedup.jaccard_pairs(corpus, threshold=0.4).collect()}
+    assert lsh <= exact
+    # exact duplicates always collide in every band -> always recovered
+    exact_dup_pairs = {(a, b) for a, b in exact if b - a == docsrc.EXACT_OFF}
+    assert exact_dup_pairs <= lsh
+
+
+def test_simhash_identical_for_exact_dups(corpus):
+    sh = dedup.simhash(corpus)
+    orig = sh.where(f"doc_id % {docsrc.EXACT_MOD} = 1 AND doc_id < {docsrc.NEAR_OFF}")
+    copy = sh.where(f"doc_id >= {docsrc.EXACT_OFF}") \
+             .withColumn("doc_id", F.col("doc_id") - docsrc.EXACT_OFF)
+    joined = (orig.alias("a").join(copy.alias("b"), "doc_id")
+              .where("a.simhash != b.simhash"))
+    assert joined.count() == 0
+
+
+def test_dedup_keep_canonical(corpus):
+    pairs = dedup.jaccard_pairs(corpus, threshold=0.9)
+    kept = dedup.dedup_keep_canonical(corpus, pairs)
+    n_dropped = corpus.count() - kept.count()
+    assert n_dropped > 0
+    # every exact duplicate (jac == 1.0) is dropped
+    assert kept.where(f"doc_id >= {docsrc.EXACT_OFF}").count() == 0
+
+
+def test_embed_near_dup_exactly_planted(spark, sf_dir, vecs):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = embs.where(f"vec_id % {docsrc.VEC_MOD} = 0").count()
+    out = ann.near_dup_pairs(vecs, threshold=0.99).collect()
+    assert len(out) == planted
+    for r in out:
+        assert r.id_b == r.id_a + docsrc.VEC_OFF
+        assert r.sim_ppm >= 999_998  # cosine == 1 up to last-ulp fold noise
+
+
+def test_ann_arrow_matches_fold(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 5")
+    want = {(r.qid, r.vec_id, r.ann_rank)
+            for r in ann.cosine_topk(embs, queries, k=5).collect()}
+    qpd = queries.selectExpr("vec_id AS qid", "embedding AS qvec").toPandas()
+    got = {(r.qid, r.vec_id, r.ann_rank)
+           for r in ann.cosine_topk_arrow(embs, qpd, k=5).collect()}
+    assert got == want
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
+    rows = out.collect()
+    assert len(rows) > 0
+    buckets = {r.vec_id: r.bucket
+               for r in ann.with_bucket(embs).select("vec_id", "bucket").collect()}
+    for r in rows:
+        assert buckets[r.vec_id] == buckets[r.qid]
+
+
+def test_langid_scores_all_docs(corpus):
+    out = text.langid(corpus)
+    assert out.count() == corpus.count()
+    assert out.where("pred_lang IS NULL").count() == 0
+
+
+def test_fingerprint_stable_for_dups(corpus):
+    fp = text.fingerprint(corpus)
+    a = fp.where(f"doc_id % {docsrc.EXACT_MOD} = 1 AND doc_id < {docsrc.NEAR_OFF}")
+    b = fp.where(f"doc_id >= {docsrc.EXACT_OFF}") \
+          .withColumn("doc_id", F.col("doc_id") - docsrc.EXACT_OFF)
+    assert a.alias("a").join(b.alias("b"), "doc_id") \
+            .where("a.fp != b.fp").count() == 0
