@@ -374,6 +374,7 @@ Q_MIN_MAX_TIME_SQL = ("SELECT cast(epoch(min(ts)) as bigint) AS min_ts, "
 # ---------------------------------------------------------------------------
 
 from geomesa_spark.entry_queries_pipeline import PIPELINE_QUERIES
+from geomesa_spark.entry_queries_processes import PROCESS_QUERIES
 
 QUERIES = {
     "bbox_during": (q_bbox_during, Q_BBOX_DURING_SQL),
@@ -392,4 +393,5 @@ QUERIES = {
     "sampling": (q_sampling, Q_SAMPLING_SQL),
     "min_max_time": (q_min_max_time, Q_MIN_MAX_TIME_SQL),
     **PIPELINE_QUERIES,
+    **PROCESS_QUERIES,
 }

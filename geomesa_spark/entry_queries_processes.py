@@ -1,0 +1,296 @@
+"""Process/analytic query catalog: proximity join, tube select, route search,
+merged view, lookup join, top-k, z3 histogram, BIN export, attribute/JSON
+filters, convex hull.
+
+Same (spark_fn, oracle_sql) contract as entry_queries.QUERIES.  Spatial
+inputs use the deterministic geo derivation (sources/testdata.geo_events) so
+lon/lat are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators import processes as proc
+from geomesa_spark.sources.testdata import geo_events, geo_events_sql
+
+GEO = f"WITH geo AS ({geo_events_sql()})"
+
+PROX_ANCHORS = [("q_cluster", 46.0, 25.0), ("q_origin", 0.0, 0.0),
+                ("q_mid", -60.0, -30.0)]
+PROX_RADIUS_M = 500_000.0
+
+TUBE_WAYPOINTS = [
+    ("2024-01-02 00:00:00", 45.0, 24.0),
+    ("2024-01-02 06:00:00", 46.0, 25.0),
+    ("2024-01-02 12:00:00", 47.0, 26.0),
+    ("2024-01-03 00:00:00", 48.0, 27.0),
+]
+TUBE_RADIUS_M = 300_000.0
+TUBE_DT_S = 6 * 3600
+
+ROUTE = [("r0", 45.0, 24.0, 45.0), ("r1", 46.0, 25.0, 45.0),
+         ("r2", 47.0, 26.0, 45.0), ("r3", 48.0, 27.0, 45.0)]
+ROUTE_RADIUS_M = 400_000.0
+ROUTE_TOL_DEG = 60.0
+
+_EARTH = proc.EARTH_RADIUS_M
+
+
+def _hav(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (f"2.0 * {_EARTH!r} * asin(sqrt(least("
+            f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2) + "
+            f"cos(radians({lat1})) * cos(radians({lat2})) * "
+            f"pow(sin((radians({lon2}) - radians({lon1})) / 2), 2), 1.0)))")
+
+
+def _bearing(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    return (f"(degrees(atan2("
+            f"sin(radians({lon2}) - radians({lon1})) * cos(radians({lat2})), "
+            f"cos(radians({lat1})) * sin(radians({lat2})) "
+            f"- sin(radians({lat1})) * cos(radians({lat2})) "
+            f"* cos(radians({lon2}) - radians({lon1})))) + 360.0e0) % 360.0e0")
+
+
+# --------------------------------------------------------------------------
+
+def q_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProximitySearchProcess: (anchor, event) pairs within 500 km."""
+    df = geo_events(spark, sf_dir)
+    return (proc.proximity_join(df, PROX_ANCHORS, PROX_RADIUS_M)
+            .select("qid", "event_id"))
+
+
+def _prox_sql() -> str:
+    anchors = ", ".join(f"('{q}', {lon!r}, {lat!r})"
+                        for q, lon, lat in PROX_ANCHORS)
+    return f"""
+{GEO}, a AS (SELECT * FROM (VALUES {anchors}) t(qid, alon, alat))
+SELECT a.qid, geo.event_id
+FROM geo CROSS JOIN a
+WHERE {_hav('geo.lon', 'geo.lat', 'a.alon', 'a.alat')} <= {PROX_RADIUS_M!r}
+"""
+
+
+Q_PROXIMITY_SQL = _prox_sql()
+
+
+def q_tube_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TubeSelect: events inside the 300km/±6h tube around a track."""
+    df = geo_events(spark, sf_dir)
+    out = proc.tube_select(df, TUBE_WAYPOINTS, TUBE_RADIUS_M, TUBE_DT_S)
+    return out.select("event_id", "n_waypoints")
+
+
+def _tube_sql() -> str:
+    wp = ", ".join(f"(TIMESTAMP '{t}', {lon!r}, {lat!r})"
+                   for t, lon, lat in TUBE_WAYPOINTS)
+    return f"""
+{GEO}, w AS (SELECT * FROM (VALUES {wp}) t(wts, wlon, wlat))
+SELECT geo.event_id, count(*) AS n_waypoints
+FROM geo JOIN w
+  ON abs(CAST(floor(epoch(geo.ts)) AS BIGINT)
+         - CAST(floor(epoch(w.wts)) AS BIGINT)) <= {TUBE_DT_S}
+ AND {_hav('geo.lon', 'geo.lat', 'w.wlon', 'w.wlat')} <= {TUBE_RADIUS_M!r}
+GROUP BY geo.event_id
+"""
+
+
+Q_TUBE_SQL = _tube_sql()
+
+
+def q_route_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteSearch: events near route waypoints with matching heading."""
+    df = geo_events(spark, sf_dir)
+    return proc.route_search(df, ROUTE, ROUTE_RADIUS_M, ROUTE_TOL_DEG)
+
+
+def _route_sql() -> str:
+    rt = ", ".join(f"('{rid}', {lon!r}, {lat!r}, {b!r})"
+                   for rid, lon, lat, b in ROUTE)
+    heading = _bearing("p.plon", "p.plat", "p.lon", "p.lat")
+    return f"""
+{GEO}, p AS (
+  SELECT event_id, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+  FROM geo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+h AS (
+  SELECT event_id, lon, lat, {heading} AS heading
+  FROM p WHERE plon IS NOT NULL
+),
+r AS (SELECT * FROM (VALUES {rt}) t(rid, rlon, rlat, rbearing))
+SELECT DISTINCT h.event_id, r.rid
+FROM h CROSS JOIN r
+WHERE {_hav('h.lon', 'h.lat', 'r.rlon', 'r.rlat')} <= {ROUTE_RADIUS_M!r}
+  AND least(abs(h.heading - r.rbearing),
+            360.0e0 - abs(h.heading - r.rbearing)) <= {ROUTE_TOL_DEG!r}
+"""
+
+
+Q_ROUTE_SQL = _route_sql()
+
+
+def q_merged_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergedQueryRunner: two overlapping stores union'd + fid-deduped."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    store_a = ev.where("event_id % 2 = 0 OR event_id % 7 = 0")
+    store_b = ev.where("event_id % 2 = 1 OR event_id % 7 = 0")
+    merged = proc.merged_view([store_a, store_b], fid_col="event_id")
+    return merged.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+Q_MERGED_VIEW_SQL = """
+WITH u AS (
+  SELECT * FROM events WHERE event_id % 2 = 0 OR event_id % 7 = 0
+  UNION ALL
+  SELECT * FROM events WHERE event_id % 2 = 1 OR event_id % 7 = 0
+),
+d AS (SELECT DISTINCT event_id, event_type FROM u)
+SELECT event_type, count(*) AS cnt FROM d GROUP BY event_type
+"""
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinProcess: events x broadcast user-tier collection."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tiers = spark.createDataFrame(
+        [(u, ["gold", "silver", "bronze"][u % 3]) for u in range(20)],
+        "user_id long, tier string")
+    joined = proc.lookup_join(ev, tiers, on="user_id")
+    return (joined.groupBy("tier")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 3).alias("sum_value")))
+
+
+Q_LOOKUP_JOIN_SQL = """
+WITH tiers AS (
+  SELECT u AS user_id,
+         CASE u % 3 WHEN 0 THEN 'gold' WHEN 1 THEN 'silver'
+                    ELSE 'bronze' END AS tier
+  FROM (SELECT unnest(range(20)) AS u)
+)
+SELECT t.tier, count(*) AS cnt, round(sum(e.value), 3) AS sum_value
+FROM events e JOIN tiers t ON t.user_id = e.user_id
+GROUP BY t.tier
+"""
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopK stat: 5 busiest users (deterministic tie-break on user_id)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("user_id", "cnt", "rank"))
+
+
+Q_TOPK_SQL = """
+WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT user_id, cnt,
+             row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+      FROM c)
+SELECT user_id, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5
+"""
+
+
+def q_z3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z3Histogram: counts keyed by (week bin, res-4 grid cell)."""
+    df = geo_events(spark, sf_dir)
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    ix = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 16), F.lit(15))
+    iy = F.least(F.floor((F.col("lat") + 90.0) / 180.0 * 16), F.lit(15))
+    return (df.withColumn("week_bin", week)
+            .withColumn("cell", (iy * 16 + ix).cast("long"))
+            .groupBy("week_bin", "cell").agg(F.count("*").alias("cnt")))
+
+
+Q_Z3_HISTOGRAM_SQL = f"""
+{GEO}
+SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week_bin,
+       CAST(least(floor((lat + 90.0e0) / 180.0e0 * 16), 15) * 16
+            + least(floor((lon + 180.0e0) / 360.0e0 * 16), 15) AS BIGINT)
+         AS cell,
+       count(*) AS cnt
+FROM geo GROUP BY 1, 2
+"""
+
+
+def q_bin_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN aggregation: (track-hash, unix secs, lat, lon) per row.
+
+    BinaryOutputEncoder packs these into 16-byte LE records
+    (utils/bin/BinaryOutputEncoder.scala); the checked surface is the field
+    values — byte packing is a writer detail.
+    """
+    df = geo_events(spark, sf_dir)
+    return df.select(
+        F.expr("(user_id * 2654435761) % 4294967296").alias("track_hash"),
+        F.unix_timestamp("ts").alias("secs"),
+        "lat", "lon")
+
+
+Q_BIN_EXPORT_SQL = f"""
+{GEO}
+SELECT (user_id * 2654435761) % 4294967296 AS track_hash,
+       CAST(floor(epoch(ts)) AS BIGINT) AS secs, lat, lon
+FROM geo
+"""
+
+
+def q_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-index predicates: LIKE prefix, IN list, between, age-off."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.where(
+        "(event_type LIKE 'sign%' OR event_type IN ('error', 'purchase')) "
+        "AND value BETWEEN 50.0 AND 150.0 "
+        "AND ts > TIMESTAMP '2024-01-10 00:00:00'")
+        .select("event_id", "event_type"))
+
+
+Q_ATTR_FILTER_SQL = """
+SELECT event_id, event_type FROM events
+WHERE (event_type LIKE 'sign%' OR event_type IN ('error', 'purchase'))
+  AND value BETWEEN 50.0 AND 150.0
+  AND ts > TIMESTAMP '2024-01-10 00:00:00'
+"""
+
+
+def q_json_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path attribute query (ObjectType json=true analog)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+            .where("k % 5 = 0")
+            .groupBy("k").agg(F.count("*").alias("cnt")))
+
+
+Q_JSON_ATTR_SQL = """
+WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+           FROM events)
+SELECT k, count(*) AS cnt FROM j WHERE k % 5 = 0 GROUP BY k
+"""
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvexHull UDAF analog: per-event-type hull (no SQL oracle —
+    geometric; verified by tests/test_processes.py against brute force)."""
+    df = geo_events(spark, sf_dir)
+    return proc.convex_hull_agg(df, "event_type")
+
+
+PROCESS_QUERIES = {
+    "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
+    "tube_select": (q_tube_select, Q_TUBE_SQL),
+    "route_search": (q_route_search, Q_ROUTE_SQL),
+    "merged_view": (q_merged_view, Q_MERGED_VIEW_SQL),
+    "lookup_join": (q_lookup_join, Q_LOOKUP_JOIN_SQL),
+    "topk": (q_topk, Q_TOPK_SQL),
+    "z3_histogram": (q_z3_histogram, Q_Z3_HISTOGRAM_SQL),
+    "bin_export": (q_bin_export, Q_BIN_EXPORT_SQL),
+    "attr_filter": (q_attr_filter, Q_ATTR_FILTER_SQL),
+    "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),
+    "convex_hull": (q_convex_hull, None),
+}

@@ -1,0 +1,207 @@
+"""WPS-process analogs: proximity join, tube select, route search, lookup
+join, merged views, convex hull — the geomesa-process module surface
+re-expressed as DataFrame plans.
+
+Reference parity:
+* proximity_join — ProximitySearchProcess (geomesa-process/.../query/
+  ProximitySearchProcess.scala:29): features of the store within distance d
+  of a (small) query collection.  Plan: broadcast anchors, bbox prefilter
+  (native, pushdown-friendly), exact haversine refine.
+* tube_select — TubeSelectProcess / TubeBuilder (tube/TubeBuilder.scala:38-
+  223): spatio-temporal "tube" around a track; events match when they fall
+  within the tube's buffer AND time window of some tube waypoint.
+* route_search — RouteSearchProcess (query/RouteSearchProcess.scala:38):
+  match moving features to a route by proximity + heading tolerance; the
+  feature heading is derived from its track's previous point (lag window).
+* lookup_join — JoinProcess (query/JoinProcess.scala): semi/inner join of
+  the store against an in-memory attribute collection (broadcast).
+* merged_view — MergedQueryRunner (index-api/.../view/MergedQueryRunner
+  .scala:41-87): union-all over N stores with optional feature-id dedupe.
+* convex_hull — spark-jts ConvexHull UDAF (geomesa-spark-jts/.../udaf/
+  ConvexHull.scala:16-50): per-group hull via collect + monotone chain.
+
+Scale notes: anchors/tubes/routes are inherently small (query-side
+collections) -> broadcast; the fact side stays a single pruned scan.  The
+only shuffles are the final per-group aggregations.  Window-over-track ops
+shuffle once on user_id (same key reused by lag + any later track agg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_col(lon1, lat1, lon2, lat2):
+    dlat = (F.radians(lat2) - F.radians(lat1)) / 2
+    dlon = (F.radians(lon2) - F.radians(lon1)) / 2
+    a = (F.sin(dlat) ** 2
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon) ** 2)
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def bearing_col(lon1, lat1, lon2, lat2):
+    """Initial great-circle bearing (degrees in [0, 360))."""
+    dlon = F.radians(lon2) - F.radians(lon1)
+    y = F.sin(dlon) * F.cos(F.radians(lat2))
+    x = (F.cos(F.radians(lat1)) * F.sin(F.radians(lat2))
+         - F.sin(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.cos(dlon))
+    return (F.degrees(F.atan2(y, x)) + 360.0) % 360.0
+
+
+def _deg_margin(radius_m: float) -> float:
+    # safe bbox prefilter margin: worst-case meters-per-degree at high lat
+    return radius_m / 111_195.0 * 4.0
+
+
+def proximity_join(points: DataFrame, anchors: list[tuple],
+                   radius_m: float, lon_col: str = "lon",
+                   lat_col: str = "lat") -> DataFrame:
+    """Pairs (anchor qid, point row) within great-circle radius_m.
+
+    anchors: [(qid, lon, lat), ...] — broadcast; bbox prefilter keeps the
+    refine predicate off most rows.
+    """
+    spark = points.sparkSession
+    a = spark.createDataFrame(anchors, "qid string, alon double, alat double")
+    m = _deg_margin(radius_m)
+    cond = ((F.col(lon_col).between(F.col("alon") - m, F.col("alon") + m))
+            & (F.col(lat_col).between(F.col("alat") - m, F.col("alat") + m)))
+    d = haversine_col(F.col(lon_col), F.col(lat_col),
+                      F.col("alon"), F.col("alat"))
+    return (points.join(F.broadcast(a), cond)
+            .where(d <= radius_m)
+            .drop("alon", "alat"))
+
+
+def tube_select(points: DataFrame, waypoints: list[tuple],
+                radius_m: float, dt_seconds: int,
+                lon_col: str = "lon", lat_col: str = "lat",
+                ts_col: str = "ts") -> DataFrame:
+    """Events inside the spatio-temporal tube around a track.
+
+    waypoints: [(ts_string, lon, lat), ...].  An event matches when some
+    waypoint is within radius_m AND |event_ts - waypoint_ts| <= dt_seconds
+    (TubeBuilder's none-gap-fill semantics).  Returns distinct matches with
+    the number of matched waypoints.
+    """
+    spark = points.sparkSession
+    w = spark.createDataFrame(waypoints, "wts string, wlon double, wlat double") \
+        .withColumn("wts", F.to_timestamp("wts"))
+    m = _deg_margin(radius_m)
+    time_ok = (F.abs(F.unix_timestamp(ts_col) - F.unix_timestamp("wts"))
+               <= dt_seconds)
+    bbox_ok = ((F.col(lon_col).between(F.col("wlon") - m, F.col("wlon") + m))
+               & (F.col(lat_col).between(F.col("wlat") - m, F.col("wlat") + m)))
+    d = haversine_col(F.col(lon_col), F.col(lat_col),
+                      F.col("wlon"), F.col("wlat"))
+    key_cols = [c for c in points.columns]
+    return (points.join(F.broadcast(w), time_ok & bbox_ok)
+            .where(d <= radius_m)
+            .groupBy(*key_cols)
+            .agg(F.count("*").alias("n_waypoints")))
+
+
+def route_search(points: DataFrame, route: list[tuple], radius_m: float,
+                 heading_tol_deg: float, track_col: str = "user_id",
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Match track points to a route by proximity + heading tolerance.
+
+    route: [(rid, lon, lat, bearing_deg), ...] — the route's waypoints with
+    the route bearing at each.  A point matches if it lies within radius_m
+    of a waypoint and its own track heading (bearing from the previous point
+    of the same track) is within heading_tol_deg of the route bearing.
+    Points with no predecessor have no heading and never match (reference
+    skips them too).
+    """
+    spark = points.sparkSession
+    r = spark.createDataFrame(
+        route, "rid string, rlon double, rlat double, rbearing double")
+    trk = Window.partitionBy(track_col).orderBy(ts_col, id_col)
+    pts = (points
+           .withColumn("_plon", F.lag(lon_col).over(trk))
+           .withColumn("_plat", F.lag(lat_col).over(trk))
+           .where(F.col("_plon").isNotNull())
+           .withColumn("heading", bearing_col(F.col("_plon"), F.col("_plat"),
+                                              F.col(lon_col), F.col(lat_col))))
+    m = _deg_margin(radius_m)
+    bbox_ok = ((F.col(lon_col).between(F.col("rlon") - m, F.col("rlon") + m))
+               & (F.col(lat_col).between(F.col("rlat") - m, F.col("rlat") + m)))
+    d = haversine_col(F.col(lon_col), F.col(lat_col),
+                      F.col("rlon"), F.col("rlat"))
+    diff = F.abs(F.col("heading") - F.col("rbearing"))
+    ang = F.least(diff, 360.0 - diff)
+    return (pts.join(F.broadcast(r), bbox_ok)
+            .where((d <= radius_m) & (ang <= heading_tol_deg))
+            .select(id_col, "rid").distinct())
+
+
+def lookup_join(facts: DataFrame, lookup: DataFrame, on: str,
+                how: str = "inner") -> DataFrame:
+    """JoinProcess: store x small attribute collection -> broadcast join."""
+    return facts.join(F.broadcast(lookup), on, how)
+
+
+def merged_view(stores: list[DataFrame], fid_col: str = "event_id",
+                dedupe: bool = True) -> DataFrame:
+    """MergedQueryRunner: one logical layer over N stores."""
+    out = stores[0]
+    for s in stores[1:]:
+        out = out.unionByName(s)
+    if dedupe:
+        w = Window.partitionBy(fid_col).orderBy(*[F.col(c) for c in out.columns])
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    return out
+
+
+def convex_hull_agg(points: DataFrame, group_col: str,
+                    lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Per-group planar convex hull (monotone chain) via applyInPandas.
+
+    Returns (group, n_hull_points, hull_area_e6 = floor(area_deg2 * 1e6),
+    hull_wkt).  The per-group pandas kernel sees only that group's points;
+    groups are the shuffle key (same model as the reference's UDAF fold).
+    """
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(pdf[[lon_col, lat_col]].to_numpy(np.float64), axis=0)
+        if len(pts) <= 2:
+            hull_pts = pts
+        else:
+            # Andrew's monotone chain
+            def half(points_sorted):
+                out = []
+                for p in points_sorted:
+                    while len(out) >= 2 and np.cross(
+                            out[-1] - out[-2], p - out[-2]) <= 0:
+                        out.pop()
+                    out.append(p)
+                return out
+            srt = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+            lower, upper = half(srt), half(srt[::-1])
+            hull_pts = np.array(lower[:-1] + upper[:-1])
+        if len(hull_pts) >= 3:
+            x, y = hull_pts[:, 0], hull_pts[:, 1]
+            area = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        else:
+            area = 0.0
+        ring = np.vstack([hull_pts, hull_pts[:1]])
+        wkt = ("POLYGON ((" + ", ".join(f"{a:.6f} {b:.6f}" for a, b in ring)
+               + "))") if len(hull_pts) >= 3 else "GEOMETRYCOLLECTION EMPTY"
+        return pd.DataFrame({
+            "grp": [pdf[group_col].iloc[0]],
+            "n_hull_points": [len(hull_pts)],
+            "hull_area_e6": [int(np.floor(area * 1e6))],
+            "hull_wkt": [wkt]})
+
+    schema = (f"grp string, n_hull_points long, hull_area_e6 long, "
+              f"hull_wkt string")
+    return (points.select(group_col, lon_col, lat_col)
+            .groupBy(group_col).applyInPandas(hull, schema)
+            .withColumnRenamed("grp", group_col))

@@ -1,0 +1,73 @@
+"""Property tests for the process operators (oracle parity is covered by
+test_oracle_parity.py; these check the non-SQL-expressible pieces)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom import model, wkt
+from geomesa_spark.geom import algos
+from geomesa_spark.operators import processes as proc
+from geomesa_spark.sources.testdata import geo_events
+
+
+@pytest.fixture(scope="module")
+def geo(spark, sf_dir):
+    return geo_events(spark, sf_dir).cache()
+
+
+def test_convex_hull_contains_all_points(geo):
+    hulls = {r.event_type: r for r in
+             proc.convex_hull_agg(geo, "event_type").collect()}
+    pts = geo.select("event_type", "lon", "lat").toPandas()
+    for et, grp in pts.groupby("event_type"):
+        h = hulls[et]
+        assert h.n_hull_points >= 3
+        assert h.hull_area_e6 > 0
+        poly = wkt.wkt_loads(h.hull_wkt)
+        x = grp["lon"].to_numpy(float)
+        y = grp["lat"].to_numpy(float)
+        # hull WKT is rounded to 1e-6, so give the test a small buffer by
+        # checking distance to the hull instead of strict containment
+        inside = algos.points_intersect(x, y, poly)
+        d = algos.points_distance(x[~inside], y[~inside], poly)
+        assert (len(d) == 0) or (d.max() < 1e-4)
+
+
+def test_convex_hull_vertices_are_input_points(geo):
+    hulls = proc.convex_hull_agg(geo, "event_type").collect()
+    pts = geo.select("event_type", "lon", "lat").toPandas()
+    for h in hulls:
+        poly = wkt.wkt_loads(h.hull_wkt)
+        grp = pts[pts.event_type == h.event_type]
+        arr = grp[["lon", "lat"]].to_numpy(float)
+        for vx, vy in poly.shell[:-1]:
+            dd = np.min((arr[:, 0] - vx) ** 2 + (arr[:, 1] - vy) ** 2)
+            assert dd < 1e-10  # vertex is an input point (up to wkt rounding)
+
+
+def test_proximity_join_is_symmetric_prefilter_safe(geo):
+    """The bbox prefilter must not drop any true match vs pure refine."""
+    anchors = [("a0", 46.0, 25.0)]
+    got = proc.proximity_join(geo, anchors, 500_000.0).count()
+    d = proc.haversine_col(F.col("lon"), F.col("lat"),
+                           F.lit(46.0), F.lit(25.0))
+    want = geo.where(d <= 500_000.0).count()
+    assert got == want
+
+
+def test_merged_view_dedupes(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where("event_id % 2 = 0 OR event_id % 7 = 0")
+    b = ev.where("event_id % 2 = 1 OR event_id % 7 = 0")
+    merged = proc.merged_view([a, b], fid_col="event_id")
+    assert merged.count() == ev.count()
+    assert merged.select("event_id").distinct().count() == ev.count()
+
+
+def test_route_search_heading_filter_restricts(geo):
+    wide = proc.route_search(geo, [("r", 46.0, 25.0, 45.0)],
+                             400_000.0, 180.0).count()
+    narrow = proc.route_search(geo, [("r", 46.0, 25.0, 45.0)],
+                               400_000.0, 30.0).count()
+    assert narrow < wide
