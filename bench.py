@@ -41,6 +41,11 @@ def main() -> None:
 
     # ---- headline: spatial-join + tiling over the synthetic image table ----
     # (BASELINE.json metric: rows/sec through PIP join + tile pyramid)
+    # warmup pass: JIT/codegen/arrow-worker startup is not throughput
+    warm = synthetic_images_geo(spark, 50_000)
+    tile_pyramid(pip_join_broadcast(warm, PIP_POLYGONS, lon_col="lon",
+                                    lat_col="lat"), [0, 2], tile_px=256).count()
+
     imgs = synthetic_images_geo(spark, IMAGES_ROWS)
     t0 = time.time()
     joined = pip_join_broadcast(imgs, PIP_POLYGONS, lon_col="lon", lat_col="lat")

@@ -33,19 +33,38 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions import portable as pt
 
 
-def _with_shingles(df: DataFrame, text_col: str, d: str = pt.SPARK) -> DataFrame:
-    """Adds `tokens`, `th` (token hashes), `shingles` (3-gram hash array)."""
+def token_hash_rows(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, pos, h) rows: positional tokens with their rolling hash.
+
+    Tokens are exploded BEFORE hashing so the char-fold runs once per token.
+    (Building hash arrays with nested higher-order functions lets Catalyst's
+    projection collapse inline the whole array expression into every
+    element_at(th, i) — O(tokens^2) re-evaluation per doc.)
+    """
     return (df
-            .withColumn("tokens", F.expr(pt.tokens(text_col, d)))
-            .withColumn("th", F.expr(pt.token_hashes("tokens", d)))
-            .withColumn("shingles", F.expr(pt.shingle_hashes("th", d))))
+            .select(id_col,
+                    F.posexplode(F.expr(pt.tokens(text_col, pt.SPARK)))
+                    .alias("pos", "tok"))
+            .select(id_col, "pos",
+                    F.expr(pt.char_fold("tok", pt.SPARK)).alias("h")))
 
 
 def shingle_set(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Distinct (id, shingle-hash) rows — the inverted-index input."""
-    return (_with_shingles(df, text_col)
-            .select(id_col, F.explode("shingles").alias("sh"))
+    """Distinct (id, shingle-hash) rows — the inverted-index input.
+
+    3-gram shingles via lead() over the per-doc token sequence: one shuffle
+    keyed on the doc id (bounded per-doc row counts -> no skew at scale).
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    sh_expr = (f"((h * {pt.SHINGLE_MULT} + h2) % {pt.P31} "
+               f"* {pt.SHINGLE_MULT} + h3) % {pt.P31}")
+    return (token_hash_rows(df, id_col, text_col)
+            .withColumn("h2", F.lead("h", 1).over(w))
+            .withColumn("h3", F.lead("h", 2).over(w))
+            .where(F.col("h3").isNotNull())
+            .select(id_col, F.expr(sh_expr).alias("sh"))
             .distinct())
 
 
@@ -149,8 +168,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash per document (token multiset, bit-vote aggregation)."""
-    tok = (_with_shingles(df, text_col)
-           .select(id_col, F.explode("th").alias("h")))
+    tok = token_hash_rows(df, id_col, text_col).select(id_col, "h")
     votes = (tok
              .select(id_col, "h",
                      F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"))

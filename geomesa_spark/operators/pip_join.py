@@ -63,6 +63,40 @@ def _refine_udf(predicate: str = "intersects"):
     return F.pandas_udf(refine, BooleanType())
 
 
+def _convex_ccw(g) -> "np.ndarray | None":
+    """CCW vertex array if ``g`` is a convex simple polygon, else None."""
+    if not isinstance(g, model.Polygon) or g.holes:
+        return None
+    v = np.asarray(g.shell[:-1], dtype=np.float64)
+    if len(v) < 3:
+        return None
+    e1 = np.roll(v, -1, axis=0) - v
+    e2 = np.roll(v, -2, axis=0) - np.roll(v, -1, axis=0)
+    cross = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    if np.all(cross >= 0):
+        return v
+    if np.all(cross <= 0):
+        return v[::-1]
+    return None
+
+
+def _halfplane_sql(ccw, lon_col: str, lat_col: str) -> str:
+    """Native Catalyst point-in-convex-polygon: AND of half-plane tests.
+
+    Pure arithmetic -> whole-stage codegen, no Python worker round-trip.
+    Boundary-inclusive (cross >= 0), matching the vectorized kernel.
+    """
+    conds = []
+    n = len(ccw)
+    for i in range(n):
+        x0, y0 = float(ccw[i][0]), float(ccw[i][1])
+        x1, y1 = float(ccw[(i + 1) % n][0]), float(ccw[(i + 1) % n][1])
+        dx, dy = x1 - x0, y1 - y0
+        conds.append(f"({dx!r} * ({lat_col} - {y0!r}) - "
+                     f"{dy!r} * ({lon_col} - {x0!r}) >= 0.0)")
+    return "(" + " AND ".join(conds) + ")"
+
+
 def _polygons_to_local(polygons) -> list[tuple]:
     """Normalize a small polygon collection to [(id, Geometry, wkb)]."""
     from geomesa_spark.geom.wkb import wkb_dumps
@@ -71,6 +105,44 @@ def _polygons_to_local(polygons) -> list[tuple]:
         geom = wkt.wkt_loads(g) if isinstance(g, str) else g
         out.append((pid, geom, wkb_dumps(geom)))
     return out
+
+
+def _refine_indexed_udf(geoms: list, predicate: str = "intersects"):
+    """(lon, lat, poly_index) -> bool with the polygon list captured in the
+    UDF closure: only a small int travels per row (the WKB-per-row variant
+    pushed gigabytes of duplicated polygon bytes through Arrow at scale)."""
+
+    def refine(lon: pd.Series, lat: pd.Series, pidx: pd.Series) -> pd.Series:
+        x = lon.to_numpy(np.float64)
+        y = lat.to_numpy(np.float64)
+        # null pidx = contained-cell rows; the filter passes them regardless
+        # but Arrow still evaluates the UDF on them
+        pi = pidx.fillna(-1).to_numpy(np.int64)
+        out = np.zeros(len(x), dtype=bool)
+        # one argsort + contiguous slices beats a full boolean scan per
+        # polygon (O(batch) vs O(batch * n_polys))
+        order = np.argsort(pi, kind="stable")
+        spi = pi[order]
+        ks, starts = np.unique(spi, return_index=True)
+        starts = np.append(starts, len(spi))
+        for j, k in enumerate(ks):
+            if k < 0:
+                continue
+            ii = order[starts[j]:starts[j + 1]]
+            g = geoms[k]
+            if predicate == "intersects":
+                m = algos.points_intersect(x[ii], y[ii], g)
+            elif predicate == "contains":
+                m = np.zeros(len(ii), dtype=bool)
+                for comp in g._components():
+                    if isinstance(comp, model.Polygon):
+                        m |= algos.points_in_polygon(x[ii], y[ii], comp) == algos.IN
+            else:
+                raise ValueError(predicate)
+            out[ii] = m
+        return pd.Series(out)
+
+    return F.pandas_udf(refine, BooleanType())
 
 
 def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
@@ -82,35 +154,113 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
     [(id, wkt-or-Geometry)]. Returns points rows + ``poly_id``.
 
     Plan shape: points -> native cell assignment -> broadcast hash join on
-    cell -> vectorized refine (skipped for rectangles). One shuffle-free pass
-    over the fact table.
+    cell -> vectorized refine (skipped for rectangles and for cover cells
+    fully inside the polygon). One shuffle-free pass over the fact table;
+    the polygon geometries ride in the refine UDF's closure, so the join
+    only materializes (poly_id, cell, poly_index) rows.
     """
     spark = points.sparkSession
     polys = _polygons_to_local(polygons)
     if res is None:
         res = pick_cover_resolution([g.bounds for _, g, _ in polys])
 
-    rows = []
-    for pid, g, b in polys:
-        exact_ok = _is_rectangle(g)
-        for cid in geometry_cell_cover(g, res):
-            # cells fully inside the polygon skip the refine (contained
-            # ranges shortcut); for rectangles every cover cell that is
-            # fully within the bbox is exact
-            from geomesa_spark.cells.grid import cell_bounds
-            cb = model.box(*cell_bounds(cid))
-            contained = g.covers(cb) if not exact_ok else _bbox_covers(g.bounds, cb.bounds)
-            rows.append((pid, cid, None if contained else b))
-    cover_df = spark.createDataFrame(rows, schema=f"{poly_id_col} string, __cell long, __poly binary") \
-        if polys and isinstance(polys[0][0], str) else \
-        spark.createDataFrame(rows, schema=f"{poly_id_col} long, __cell long, __poly binary")
+    from geomesa_spark.cells.grid import cell_xy
+    from geomesa_spark.plans.cover import classify_cell_cover
 
-    pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+    # join key = row-major cell index (iy*n + ix): ~10 native ops per point
+    # vs ~100 for the Morton spread (z-order matters for range partitioning
+    # and sorted layouts, not for a hash-join key)
+    def rowmajor(cid: int) -> int:
+        _res, ix, iy = cell_xy(cid)
+        return iy * (1 << res) + ix
+
+    rows = []
+    for k, (pid, g, _b) in enumerate(polys):
+        if isinstance(g, (model.Polygon, model.MultiPolygon)):
+            contained, boundary = classify_cell_cover(g, res)
+        else:
+            contained, boundary = [], geometry_cell_cover(g, res)
+        # contained cells skip the refine (exact-ranges shortcut); boundary
+        # cells carry the polygon index for the vectorized refine
+        rows.extend((pid, rowmajor(cid), None) for cid in contained)
+        rows.extend((pid, rowmajor(cid), k) for cid in boundary)
+    id_type = "string" if polys and isinstance(polys[0][0], str) else "long"
+    cover_df = spark.createDataFrame(
+        rows, schema=f"{poly_id_col} {id_type}, __cell long, __pidx int")
+
+    n = 1 << res
+    cell_expr = (
+        f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
+        f" * {n} + "
+        f"least(greatest(cast(floor(({lon_col} + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})")
+    pts = points.withColumn("__cell", F.expr(cell_expr))
     joined = pts.join(F.broadcast(cover_df), "__cell", "inner")
-    refined = joined.where(F.col("__poly").isNull()
-                           | _refine_udf(predicate)(F.col(lon_col), F.col(lat_col), F.col("__poly")))
-    drop = ["__cell"] if keep_geom else ["__cell", "__poly"]
-    return refined.drop(*drop)
+    geoms = [g for _pid, g, _b in polys]
+
+    # Predicate compilation (the analog of GeoMesa compiling filters into
+    # server-side iterators): the exact refine is a ray-cast over the
+    # polygon's edge list, expressed as ONE small aggregate() over an
+    # `__edges` array column attached by a 64-row broadcast join on the
+    # polygon index. All JVM — zero Python traffic; interior rows (pidx
+    # NULL) short-circuit before the aggregate. Arithmetic replicates
+    # algos.points_in_ring term-for-term (boundary-inclusive even-odd), so
+    # results are bit-identical to the pandas kernel.
+    if predicate == "intersects" and all(
+            isinstance(g, (model.Polygon, model.MultiPolygon)) for g in geoms):
+        edge_rows = []
+        for k, g in enumerate(geoms):
+            ccw = _convex_ccw(g)
+            edges = []
+            if ccw is not None:
+                ring_list = [np.vstack([ccw, ccw[:1]])]
+            else:
+                ring_list = []
+                for comp in g._components():
+                    ring_list.append(np.asarray(comp.shell, dtype=np.float64))
+                    ring_list.extend(np.asarray(h, dtype=np.float64)
+                                     for h in comp.holes)
+            for arr in ring_list:
+                for i in range(len(arr) - 1):
+                    edges.append((float(arr[i][0]), float(arr[i][1]),
+                                  float(arr[i + 1][0]), float(arr[i + 1][1])))
+            edge_rows.append((k, ccw is not None, edges))
+        edges_df = spark.createDataFrame(
+            edge_rows,
+            "__pidx int, __convex boolean, "
+            "__edges array<struct<ax:double,ay:double,bx:double,by:double>>")
+        lon, lat = lon_col, lat_col
+        # convex: boundary-inclusive half-plane conjunction (cheap forall);
+        # general: even-odd ray cast replicating algos.points_in_ring
+        # term-for-term (boundary-inclusive), one aggregate()
+        refine = F.expr(f"""
+            IF(__convex,
+              forall(__edges, e -> (e.bx - e.ax) * ({lat} - e.ay)
+                                   - (e.by - e.ay) * ({lon} - e.ax) >= 0.0),
+              aggregate(__edges,
+                named_struct('i', false, 'b', false),
+                (acc, e) -> named_struct(
+                  'i', acc.i != (((e.ay > {lat}) != (e.by > {lat})) AND
+                          ({lon} < e.ax + ({lat} - e.ay) * (e.bx - e.ax) / (e.by - e.ay))),
+                  'b', acc.b OR ((e.bx - e.ax) * ({lat} - e.ay)
+                                 - (e.by - e.ay) * ({lon} - e.ax) = 0.0
+                          AND {lon} >= least(e.ax, e.bx) AND {lon} <= greatest(e.ax, e.bx)
+                          AND {lat} >= least(e.ay, e.by) AND {lat} <= greatest(e.ay, e.by))),
+                acc -> acc.b OR acc.i))""")
+        out = (joined.join(F.broadcast(edges_df), "__pidx", "left")
+               .where(F.col("__pidx").isNull() | refine))
+        return out.drop("__cell", "__pidx", "__convex", "__edges")
+
+    # General path (line/point geometries in the mix): split interior rows
+    # (pidx NULL -> already exact) from boundary rows BEFORE the pandas UDF —
+    # `isNull | udf(...)` would ship every candidate row through the Python
+    # worker sockets; the split keeps Arrow traffic proportional to the
+    # boundary fraction (the reference's exact-ranges shortcut,
+    # Z3IndexKeySpace.useFullFilter).
+    interior = joined.where(F.col("__pidx").isNull())
+    boundary = joined.where(F.col("__pidx").isNotNull()).where(
+        _refine_indexed_udf(geoms, predicate)(F.col(lon_col), F.col(lat_col),
+                                              F.col("__pidx")))
+    return interior.unionByName(boundary).drop("__cell", "__pidx")
 
 
 def _bbox_covers(outer: tuple, inner: tuple) -> bool:

@@ -30,7 +30,12 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        # 4 MB buffered writes on the JVM<->python-worker sockets: the 64 KB
+        # default causes a syscall storm (80%+ system time) on UDF-heavy
+        # stages at high local parallelism
+        .config("spark.sql.execution.pandas.udf.buffer.size", str(4 * 1024 * 1024))
+        .config("spark.buffer.size", str(4 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
