@@ -64,6 +64,18 @@ def main() -> None:
         q_times[name] = round(time.time() - t1, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    scaling = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "scaling.json")) as f:
+            s = json.load(f)
+        scaling = {
+            "scaling_efficiency_pipeline": s["scaling_efficiency_pipeline"],
+            "scaling_efficiency_join": s["scaling_efficiency_join"],
+            "scaling_rows": s["rows"],
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps({
         "metric": "spatial_join_tiling_pipeline_sec",
         "value": round(headline_sec, 3),
@@ -74,6 +86,7 @@ def main() -> None:
         "images_rows": IMAGES_ROWS,
         "pyramid_pixels": n_tiles,
         "cpus": CPUS,
+        **scaling,
     }))
     spark.stop()
 

@@ -137,6 +137,8 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f, indent=2)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling-efficiency report
 
