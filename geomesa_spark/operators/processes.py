@@ -171,6 +171,22 @@ def convex_hull_agg(points: DataFrame, group_col: str,
 
     def hull(pdf: pd.DataFrame) -> pd.DataFrame:
         pts = np.unique(pdf[[lon_col, lat_col]].to_numpy(np.float64), axis=0)
+        if len(pts) > 64:
+            # Akl-Toussaint prefilter (exact): points strictly inside the
+            # octagon of the 8 directional extremes cannot be hull vertices;
+            # one vectorized ray-cast drops ~90% before the chain walk
+            x, y = pts[:, 0], pts[:, 1]
+            idx = {x.argmin(), x.argmax(), y.argmin(), y.argmax(),
+                   (x + y).argmin(), (x + y).argmax(),
+                   (x - y).argmin(), (x - y).argmax()}
+            oct_pts = pts[sorted(idx)]
+            c = oct_pts.mean(axis=0)
+            ang = np.arctan2(oct_pts[:, 1] - c[1], oct_pts[:, 0] - c[0])
+            ring = oct_pts[np.argsort(ang)]
+            ring = np.vstack([ring, ring[:1]])
+            from geomesa_spark.geom.algos import IN, points_in_ring
+            keep = points_in_ring(x, y, ring) != IN
+            pts = pts[keep]
         if len(pts) <= 2:
             hull_pts = pts
         else:

@@ -75,12 +75,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id",
     return df.select(id_col, F.expr(pt.char_fold(text_col, pt.SPARK)).alias("fp"))
 
 
-def _char_bigrams(text_col: str) -> str:
-    """Catalyst expr: array of char-bigram hashes (= fold of 2 chars)."""
-    # bigram hash = ascii(c1)*256 + ascii(c2): cheap, portable, collision-free
-    return (f"transform(sequence(1, length({text_col}) - 1), "
-            f"i -> ascii(substring({text_col}, i, 1)) * 256 "
-            f"+ ascii(substring({text_col}, i + 1, 1)))")
+def _bigram_rows(docs: DataFrame, id_col: str, text_col: str,
+                 lang_col: str) -> DataFrame:
+    """(id, lang, bg) rows: char-bigram hashes via explode + lead.
+
+    bigram hash = ascii(c1)*256 + ascii(c2): cheap, portable, collision-free.
+    Exploding chars BEFORE hashing keeps the work O(len) per doc — the array
+    form (`transform(sequence(...), i -> substring(text, i, 1)...)`) is
+    O(len^2) because each substring call rescans the string.
+    """
+    bigs = (f"zip_with(slice(split({text_col}, ''), 1, length({text_col}) - 1), "
+            f"slice(split({text_col}, ''), 2, length({text_col}) - 1), "
+            f"(a, b) -> ascii(a) * 256 + ascii(b))")
+    return (docs
+            .select(id_col, lang_col, F.explode(F.expr(bigs)).alias("bg")))
 
 
 def langid(docs: DataFrame, id_col: str = "doc_id",
@@ -93,9 +101,9 @@ def langid(docs: DataFrame, id_col: str = "doc_id",
     asc).  Profiles are tiny (langs x bigrams) -> broadcast join; the scoring
     pass is one explode + groupBy.
     """
-    bg = (docs
-          .withColumn("bg", F.explode(F.expr(_char_bigrams(text_col))))
-          .select(id_col, lang_col, "bg"))
+    # the bigram table feeds three aggregations (totals, profile, scoring);
+    # persist it once instead of recomputing the explode+window lineage
+    bg = _bigram_rows(docs, id_col, text_col, lang_col).persist()
     totals = bg.groupBy(lang_col).agg(F.count("*").alias("tot"))
     profile = (bg.groupBy(lang_col, "bg").agg(F.count("*").alias("c"))
                .join(totals, lang_col)
