@@ -24,43 +24,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from geomesa_spark.functions.cell_functions import cell_col, salt_col
+from geomesa_spark.functions.cell_functions import salt_col
 from geomesa_spark.geom import algos, model, wkt
 from geomesa_spark.geom.wkb import wkb_loads
 from geomesa_spark.plans.cover import geometry_cell_cover, pick_cover_resolution
 from geomesa_spark.plans.query import _is_rectangle
 
 DEFAULT_SALTS = 4  # geomesa.z.splits default (Conversions.scala:307-318)
-
-
-def _refine_udf(predicate: str = "intersects"):
-    """(lon, lat, poly_wkb) -> bool; caches parsed polygons per batch and
-    evaluates each distinct polygon against its points in one numpy call."""
-
-    def refine(lon: pd.Series, lat: pd.Series, poly: pd.Series) -> pd.Series:
-        x = lon.to_numpy(np.float64)
-        y = lat.to_numpy(np.float64)
-        out = np.zeros(len(x), dtype=bool)
-        groups: dict[bytes, list[int]] = {}
-        for i, b in enumerate(poly):
-            if b is not None:
-                groups.setdefault(bytes(b), []).append(i)
-        for b, idx in groups.items():
-            g = wkb_loads(b)
-            ii = np.asarray(idx)
-            if predicate == "intersects":
-                m = algos.points_intersect(x[ii], y[ii], g)
-            elif predicate == "contains":
-                m = np.zeros(len(ii), dtype=bool)
-                for comp in g._components():
-                    if isinstance(comp, model.Polygon):
-                        m |= algos.points_in_polygon(x[ii], y[ii], comp) == algos.IN
-            else:
-                raise ValueError(predicate)
-            out[ii] = m
-        return pd.Series(out)
-
-    return F.pandas_udf(refine, BooleanType())
 
 
 def _convex_ccw(g) -> "np.ndarray | None":
@@ -78,23 +48,6 @@ def _convex_ccw(g) -> "np.ndarray | None":
     if np.all(cross <= 0):
         return v[::-1]
     return None
-
-
-def _halfplane_sql(ccw, lon_col: str, lat_col: str) -> str:
-    """Native Catalyst point-in-convex-polygon: AND of half-plane tests.
-
-    Pure arithmetic -> whole-stage codegen, no Python worker round-trip.
-    Boundary-inclusive (cross >= 0), matching the vectorized kernel.
-    """
-    conds = []
-    n = len(ccw)
-    for i in range(n):
-        x0, y0 = float(ccw[i][0]), float(ccw[i][1])
-        x1, y1 = float(ccw[(i + 1) % n][0]), float(ccw[(i + 1) % n][1])
-        dx, dy = x1 - x0, y1 - y0
-        conds.append(f"({dx!r} * ({lat_col} - {y0!r}) - "
-                     f"{dy!r} * ({lon_col} - {x0!r}) >= 0.0)")
-    return "(" + " AND ".join(conds) + ")"
 
 
 def _polygons_to_local(polygons) -> list[tuple]:
@@ -276,12 +229,29 @@ def pip_join_smj(points: DataFrame, polygons: DataFrame, *, res: int,
     """Salted sort-merge PIP join for LARGE polygon sets (DataFrame side).
 
     ``polygons`` must carry (poly_id_col, poly_wkb_col). Polygon covers are
-    computed executor-side (Arrow-batched), replicated to all salt values;
-    points are salted by hash. Join key (cell, salt) spreads hot cells over
-    ``n_salts`` reducers — explicit skew handling per the north rule, on top
-    of AQE skew splitting.
+    computed executor-side (Arrow-batched), split into interior cells (skip
+    the refine — exact-cover shortcut) and boundary cells, replicated to all
+    salt values; points are salted by hash. Join key (cell, salt) spreads
+    hot cells over ``n_salts`` reducers — explicit skew handling per the
+    north rule, on top of AQE skew splitting. The exact refine is the same
+    native ray-cast / half-plane expression as the broadcast path, reading
+    an ``__edges`` array column prepared once per polygon — no Python and
+    no WKB parsing in the per-candidate hot path.
     """
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                                   LongType, StructField, StructType)
+
+    from geomesa_spark.cells.grid import cell_xy
+    from geomesa_spark.plans.cover import classify_cell_cover
+
+    n = 1 << res
+
+    def rowmajor(cid: int) -> int:
+        _res, ix, iy = cell_xy(cid)
+        return iy * n + ix
+
+    cover_type = ArrayType(StructType([
+        StructField("cell", LongType()), StructField("interior", BooleanType())]))
 
     def cover_udf(wkb_s: pd.Series) -> pd.Series:
         out = []
@@ -289,21 +259,82 @@ def pip_join_smj(points: DataFrame, polygons: DataFrame, *, res: int,
             if b is None:
                 out.append([])
                 continue
-            out.append(geometry_cell_cover(wkb_loads(bytes(b)), res))
+            g = wkb_loads(bytes(b))
+            if isinstance(g, (model.Polygon, model.MultiPolygon)):
+                contained, boundary = classify_cell_cover(g, res)
+            else:
+                contained, boundary = [], geometry_cell_cover(g, res)
+            out.append([(rowmajor(c), True) for c in contained]
+                       + [(rowmajor(c), False) for c in boundary])
         return pd.Series(out)
 
-    covers = polygons.withColumn(
-        "__cells", F.pandas_udf(cover_udf, ArrayType(LongType()))(F.col(poly_wkb_col)))
-    poly_cells = (covers
-                  .withColumn("__cell", F.explode("__cells"))
-                  .withColumn("__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)])))
-                  .drop("__cells"))
+    prep_type = StructType([
+        StructField("convex", BooleanType()),
+        StructField("edges", ArrayType(StructType(
+            [StructField("ax", DoubleType()), StructField("ay", DoubleType()),
+             StructField("bx", DoubleType()), StructField("by", DoubleType())])))])
 
+    def prep_udf(wkb_s: pd.Series) -> pd.DataFrame:
+        convex, edges_out = [], []
+        for b in wkb_s:
+            g = wkb_loads(bytes(b))
+            ccw = _convex_ccw(g)
+            if ccw is not None:
+                rings = [np.vstack([ccw, ccw[:1]])]
+            else:
+                rings = []
+                for comp in g._components():
+                    if isinstance(comp, model.Polygon):
+                        rings.append(np.asarray(comp.shell, dtype=np.float64))
+                        rings.extend(np.asarray(h, dtype=np.float64)
+                                     for h in comp.holes)
+            edges = []
+            for arr in rings:
+                for i in range(len(arr) - 1):
+                    edges.append((float(arr[i][0]), float(arr[i][1]),
+                                  float(arr[i + 1][0]), float(arr[i + 1][1])))
+            convex.append(ccw is not None)
+            edges_out.append(edges)
+        return pd.DataFrame({"convex": convex, "edges": edges_out})
+
+    covers = (polygons
+              .withColumn("__cov", F.pandas_udf(cover_udf, cover_type)(F.col(poly_wkb_col)))
+              .withColumn("__prep", F.pandas_udf(prep_udf, prep_type)(F.col(poly_wkb_col)))
+              .withColumn("__convex", F.col("__prep.convex"))
+              .withColumn("__edges", F.col("__prep.edges"))
+              .drop("__prep", poly_wkb_col))
+    poly_cells = (covers
+                  .withColumn("__c", F.explode("__cov"))
+                  .withColumn("__cell", F.col("__c.cell"))
+                  .withColumn("__interior", F.col("__c.interior"))
+                  .withColumn("__salt", F.explode(F.array([F.lit(i) for i in range(n_salts)])))
+                  .drop("__cov", "__c"))
+
+    cell_expr = (
+        f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
+        f" * {n} + "
+        f"least(greatest(cast(floor(({lon_col} + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})")
     pts = (points
-           .withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res))
+           .withColumn("__cell", F.expr(cell_expr))
            .withColumn("__salt", salt_col(F.col(lon_col) + F.col(lat_col), n_salts)))
 
     joined = pts.join(poly_cells.hint("shuffle_merge"), ["__cell", "__salt"], "inner")
-    refined = joined.where(_refine_udf(predicate)(F.col(lon_col), F.col(lat_col),
-                                                  F.col(poly_wkb_col)))
-    return refined.drop("__cell", "__salt")
+    lon, lat = lon_col, lat_col
+    refine = F.expr(f"""
+        __interior OR IF(__convex,
+          forall(__edges, e -> (e.bx - e.ax) * ({lat} - e.ay)
+                               - (e.by - e.ay) * ({lon} - e.ax) >= 0.0),
+          aggregate(__edges,
+            named_struct('i', false, 'b', false),
+            (acc, e) -> named_struct(
+              'i', acc.i != (((e.ay > {lat}) != (e.by > {lat})) AND
+                      ({lon} < e.ax + ({lat} - e.ay) * (e.bx - e.ax) / (e.by - e.ay))),
+              'b', acc.b OR ((e.bx - e.ax) * ({lat} - e.ay)
+                             - (e.by - e.ay) * ({lon} - e.ax) = 0.0
+                      AND {lon} >= least(e.ax, e.bx) AND {lon} <= greatest(e.ax, e.bx)
+                      AND {lat} >= least(e.ay, e.by) AND {lat} <= greatest(e.ay, e.by))),
+            acc -> acc.b OR acc.i))""")
+    if predicate != "intersects":
+        raise ValueError("pip_join_smj supports the intersects predicate")
+    refined = joined.where(refine)
+    return refined.drop("__cell", "__salt", "__interior", "__convex", "__edges")

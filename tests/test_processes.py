@@ -71,3 +71,25 @@ def test_route_search_heading_filter_restricts(geo):
     narrow = proc.route_search(geo, [("r", 46.0, 25.0, 45.0)],
                                400_000.0, 30.0).count()
     assert narrow < wide
+
+
+def test_pip_smj_matches_broadcast(spark, geo):
+    """The salted SMJ path must produce exactly the broadcast path's pairs."""
+    from geomesa_spark.geom import wkt as wktmod
+    from geomesa_spark.geom.wkb import wkb_dumps
+    from geomesa_spark.operators.pip_join import (pip_join_broadcast,
+                                                  pip_join_smj)
+
+    polys = [
+        ("diamond", "POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))"),
+        ("box", "POLYGON ((-30 -20, 30 -20, 30 20, -30 20, -30 -20))"),
+        ("lshape", "POLYGON ((0 30, 20 30, 20 40, 10 40, 10 50, 0 50, 0 30))"),
+    ]
+    want = {(r.poly_id, r.event_id) for r in
+            pip_join_broadcast(geo, polys, res=8).select("poly_id", "event_id").collect()}
+    poly_df = spark.createDataFrame(
+        [(pid, bytearray(wkb_dumps(wktmod.wkt_loads(w)))) for pid, w in polys],
+        "poly_id string, geom binary")
+    got = {(r.poly_id, r.event_id) for r in
+           pip_join_smj(geo, poly_df, res=8).select("poly_id", "event_id").collect()}
+    assert got == want and len(got) > 0
