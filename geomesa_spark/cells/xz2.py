@@ -19,7 +19,7 @@ from math import floor, log
 
 import numpy as np
 
-from geomesa_spark.cells.zn import IndexRange
+from geomesa_spark.cells.zn import DEFAULT_MAX_RANGES, IndexRange
 
 _LOG_HALF = log(0.5)
 
@@ -146,7 +146,7 @@ class XZ2SFC:
     def ranges(self, queries: list[tuple[float, float, float, float]],
                max_ranges: int | None = None) -> list[IndexRange]:
         windows = [_QueryWindow(*self._normalize(*q)) for q in queries]
-        return self._ranges(windows, max_ranges if max_ranges is not None else (1 << 62))
+        return self._ranges(windows, max_ranges if max_ranges is not None else DEFAULT_MAX_RANGES)
 
     def _ranges(self, query: list[_QueryWindow], range_stop: int) -> list[IndexRange]:
         ranges: list[IndexRange] = []

@@ -274,6 +274,37 @@ SELECT k, count(*) AS cnt FROM j WHERE k % 5 = 0 GROUP BY k
 """
 
 
+FOOTPRINT_EXPRS = [
+    "event_id", "ts", "lon AS xmin", "lat AS ymin",
+    "lon + 0.1e0 + (event_id % 10) * 0.05e0 AS xmax",
+    "lat + 0.1e0 + (event_id % 7) * 0.05e0 AS ymax",
+]
+
+
+def q_xz3_bbox_during(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ3 index path for non-point footprints: per-bin sequence-code range
+    prefilter + exact bbox/interval refine (XZ3IndexKeySpace analog)."""
+    from geomesa_spark.operators.footprints import xz3_bbox_during
+    fp = geo_events(spark, sf_dir).selectExpr(*FOOTPRINT_EXPRS)
+    out = xz3_bbox_during(fp, (40.0, 20.0, 50.0, 30.0),
+                          ("2024-01-05 00:00:00", "2024-01-20 00:00:00"))
+    return out.select("event_id")
+
+
+Q_XZ3_SQL = f"""
+{GEO}, f AS (
+  SELECT event_id, ts, lon AS xmin, lat AS ymin,
+         lon + 0.1e0 + (event_id % 10) * 0.05e0 AS xmax,
+         lat + 0.1e0 + (event_id % 7) * 0.05e0 AS ymax
+  FROM geo
+)
+SELECT event_id FROM f
+WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
+  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+             AND TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConvexHull UDAF analog: per-event-type hull (no SQL oracle —
     geometric; verified by tests/test_processes.py against brute force)."""
@@ -293,4 +324,5 @@ PROCESS_QUERIES = {
     "attr_filter": (q_attr_filter, Q_ATTR_FILTER_SQL),
     "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),
     "convex_hull": (q_convex_hull, None),
+    "xz3_bbox_during": (q_xz3_bbox_during, Q_XZ3_SQL),
 }

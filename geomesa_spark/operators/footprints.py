@@ -1,0 +1,101 @@
+"""Non-point footprint indexing and querying via XZ2/XZ3.
+
+The engine analog of the reference's XZ index key spaces (index/z3/
+XZ3IndexKeySpace.scala:32-50, index/z2/XZ2IndexKeySpace.scala): a row with a
+bbox footprint (and optionally a timestamp) gets an XZ sequence code per
+time bin; a (bbox, interval) query compiles to per-bin XZ range predicates
+(coarse prefilter, prunable by file stats) plus the exact bbox-overlap /
+interval recheck (the residual filter).  The prefilter can only produce
+false POSITIVES (XZ cover property, golden-tested in test_cells.TestXZ3),
+so prefilter + exact refine returns exactly the brute-force result.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from geomesa_spark.cells.xz3 import XZ3SFC
+from geomesa_spark.cells.z3 import BinnedTime, WEEK_MS
+
+DEFAULT_G = 12
+
+
+def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
+             ymax_col: str, ts_col: str, g: int = DEFAULT_G,
+             period: str = "week") -> DataFrame:
+    """Adds ``xz3_bin`` (time bin) and ``xz3`` (sequence code) columns.
+
+    The bin is a native expression; the sequence code is one Arrow-batched
+    numpy kernel (XZ3SFC.index_np) — at write time this pair is the sort /
+    partition key for footprint tables, mirroring
+    `[shard][2B time-bin][8B xz(bbox)]` row keys.
+    """
+    sfc = XZ3SFC(g, period=period)
+    period_ms = WEEK_MS  # weekly bins (reference default for xz3)
+
+    def idx(xmin: pd.Series, ymin: pd.Series, zsec: pd.Series,
+            xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        z = zsec.to_numpy(np.float64)
+        return pd.Series(sfc.index_np(
+            xmin.to_numpy(np.float64), ymin.to_numpy(np.float64), z,
+            xmax.to_numpy(np.float64), ymax.to_numpy(np.float64), z))
+
+    udf = F.pandas_udf(idx, LongType())
+    millis = (F.unix_timestamp(ts_col) * 1000)
+    offset_sec = ((millis % period_ms) / 1000).cast("double")
+    return (df
+            .withColumn("xz3_bin", (millis / period_ms).cast("long"))
+            .withColumn("xz3", udf(F.col(xmin_col), F.col(ymin_col),
+                                   offset_sec, F.col(xmax_col), F.col(ymax_col))))
+
+
+def xz3_query_predicate(bbox: tuple, interval_ms: tuple[int, int],
+                        g: int = DEFAULT_G, period: str = "week",
+                        max_ranges: int = 256) -> Column:
+    """Coarse per-bin XZ3 range predicate for a (bbox, interval) query.
+
+    OR over time bins of ``xz3_bin = b AND xz3 BETWEEN lo AND hi`` — the
+    query-planning side of XZ3IndexKeySpace.getRanges.
+    """
+    sfc = XZ3SFC(g, period=period)
+    xmin, ymin, xmax, ymax = bbox
+    lo_ms, hi_ms = interval_ms
+    preds = []
+    b0, b1 = lo_ms // WEEK_MS, hi_ms // WEEK_MS
+    for b in range(int(b0), int(b1) + 1):
+        zlo = max(lo_ms - b * WEEK_MS, 0) / 1000.0
+        zhi = min(hi_ms - b * WEEK_MS, WEEK_MS) / 1000.0
+        ranges = sfc.ranges([(xmin, ymin, zlo, xmax, ymax, zhi)],
+                            max_ranges=max_ranges)
+        rng_pred = reduce(lambda a, c: a | c,
+                          [F.col("xz3").between(r.lower, r.upper) for r in ranges])
+        preds.append((F.col("xz3_bin") == b) & rng_pred)
+    return reduce(lambda a, c: a | c, preds)
+
+
+def xz3_bbox_during(df: DataFrame, bbox: tuple, interval: tuple[str, str],
+                    xmin_col: str = "xmin", ymin_col: str = "ymin",
+                    xmax_col: str = "xmax", ymax_col: str = "ymax",
+                    ts_col: str = "ts", g: int = DEFAULT_G) -> DataFrame:
+    """Footprints intersecting ``bbox`` during ``interval``.
+
+    XZ3 prefilter (range predicate on the index columns -> file skipping on
+    a sorted layout) + exact bbox-overlap and interval recheck.
+    """
+    import datetime as dt
+
+    indexed = with_xz3(df, xmin_col, ymin_col, xmax_col, ymax_col, ts_col, g=g)
+    to_ms = (lambda s: int(dt.datetime.fromisoformat(s)
+                           .replace(tzinfo=dt.timezone.utc).timestamp() * 1000))
+    pre = xz3_query_predicate(bbox, (to_ms(interval[0]), to_ms(interval[1])), g=g)
+    qxmin, qymin, qxmax, qymax = bbox
+    exact = ((F.col(xmax_col) >= qxmin) & (F.col(xmin_col) <= qxmax)
+             & (F.col(ymax_col) >= qymin) & (F.col(ymin_col) <= qymax)
+             & F.col(ts_col).between(F.lit(interval[0]), F.lit(interval[1])))
+    return indexed.where(pre).where(exact).drop("xz3_bin", "xz3")

@@ -287,3 +287,72 @@ class TestGridCells:
         for cid in cells:
             xmin, ymin, xmax, ymax = cell_bounds(cid)
             assert xmax >= -1.0 and xmin <= 1.0 and ymax >= -1.0 and ymin <= 1.0
+
+
+class TestXZ3:
+    """Golden behavior ported from the reference XZ3SFCTest.scala
+    (geomesa-z3/src/test/scala/.../curve/XZ3SFCTest.scala:20-126)."""
+
+    def _sfc(self):
+        from geomesa_spark.cells.xz3 import XZ3SFC
+        return XZ3SFC(12, period="week")
+
+    CONTAINING = [(9.0, 9.0, 900.0, 13.0, 13.0, 1100.0),
+                  (-180.0, -90.0, 900.0, 180.0, 90.0, 1100.0),
+                  (0.0, 0.0, 900.0, 180.0, 90.0, 1100.0),
+                  (0.0, 0.0, 900.0, 20.0, 20.0, 1100.0)]
+    OVERLAPPING = [(11.0, 11.0, 900.0, 13.0, 13.0, 1100.0),
+                   (9.0, 9.0, 900.0, 11.0, 11.0, 1100.0),
+                   (10.5, 10.5, 900.0, 11.5, 11.5, 1100.0),
+                   (11.0, 11.0, 900.0, 11.0, 11.0, 1100.0)]
+    DISJOINT = [(-180.0, -90.0, 900.0, 8.0, 8.0, 1100.0),
+                (0.0, 0.0, 900.0, 8.0, 8.0, 1100.0),
+                (9.0, 9.0, 900.0, 9.5, 9.5, 1100.0),
+                (20.0, 20.0, 900.0, 180.0, 90.0, 1100.0)]
+
+    def _matches(self, sfc, windows, idx):
+        out = []
+        for w in windows:
+            rs = sfc.ranges([w], max_ranges=10000)
+            out.append(any(r.lower <= idx <= r.upper for r in rs))
+        return out
+
+    def test_index_polygons_and_query(self):
+        sfc = self._sfc()
+        poly = sfc.index(10, 10, 1000, 12, 12, 1000)
+        assert all(self._matches(sfc, self.CONTAINING + self.OVERLAPPING, poly))
+        assert not any(self._matches(sfc, self.DISJOINT, poly))
+
+    def test_index_points_and_query(self):
+        sfc = self._sfc()
+        pt = sfc.index(11, 11, 1000, 11, 11, 1000)
+        assert all(self._matches(sfc, self.CONTAINING + self.OVERLAPPING, pt))
+        assert not any(self._matches(sfc, self.DISJOINT, pt))
+
+    def test_out_of_bounds_raises_and_lenient_clamps(self):
+        sfc = self._sfc()
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            sfc.index(-181.0, 0.0, 0.0, 0.0, 0.0, 10.0)
+        assert sfc.index(-181.0, 0.0, 0.0, 0.0, 0.0, 10.0, lenient=True) == \
+            sfc.index(-180.0, 0.0, 0.0, 0.0, 0.0, 10.0)
+
+    def test_vectorized_matches_scalar(self):
+        import numpy as np
+        sfc = self._sfc()
+        rng = np.random.default_rng(7)
+        xmin = rng.uniform(-180, 170, 200); xmax = xmin + rng.uniform(0, 8, 200)
+        ymin = rng.uniform(-90, 80, 200); ymax = ymin + rng.uniform(0, 8, 200)
+        zmin = rng.uniform(0, 500000, 200); zmax = zmin + rng.uniform(0, 80000, 200)
+        vec = sfc.index_np(xmin, ymin, zmin, xmax, ymax, zmax)
+        for i in range(200):
+            assert vec[i] == sfc.index(xmin[i], ymin[i], zmin[i],
+                                       xmax[i], ymax[i], min(zmax[i], sfc.zhi),
+                                       lenient=True)
+
+    def test_sequence_code_is_octal_prefix_order(self):
+        sfc = self._sfc()
+        # the whole-space query covers every index in one contiguous range
+        rs = sfc.ranges([(-180.0, -90.0, 0.0, 180.0, 90.0, sfc.zhi)])
+        idx = sfc.index(42.0, -17.0, 12345.0, 43.0, -16.0, 12400.0)
+        assert any(r.lower <= idx <= r.upper for r in rs)
