@@ -1,0 +1,91 @@
+"""Arrow export surface, lambda merged view, and approximate-stat operators
+(HLL cardinality / count-min frequency — the reference's sketch stats)."""
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.sources import arrow_io
+from geomesa_spark.streaming import lambda_view
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+# -- arrow export ----------------------------------------------------------
+
+def test_arrow_ipc_round_trip_sorted(events):
+    df = events.select("event_id", "event_type", "value").limit(500)
+    data = arrow_io.to_arrow_ipc(df, sort_by=["event_id"],
+                                 dict_columns=["event_type"])
+    table = arrow_io.read_arrow_ipc(data)
+    assert table.num_rows == df.count()
+    ids = table.column("event_id").to_pylist()
+    assert ids == sorted(ids)
+    assert pa.types.is_dictionary(table.schema.field("event_type").type)
+
+
+def test_arrow_partition_export(events, tmp_path):
+    df = events.select("event_id", "value").repartition(4)
+    n_files = arrow_io.write_arrow_partitions(df, str(tmp_path / "arrow"))
+    assert 1 <= n_files <= 4
+    total = 0
+    for f in (tmp_path / "arrow").iterdir():
+        with pa.ipc.open_stream(pa.OSFile(str(f))) as r:
+            total += r.read_all().num_rows
+    assert total == events.count()
+
+
+# -- lambda view -----------------------------------------------------------
+
+def test_lambda_view_merges_tiers(spark):
+    persistent = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:00:00", 2.0)],
+        "user_id long, ts string, value double").withColumn("ts", F.to_timestamp("ts"))
+    transient = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", 10.0),   # newer update, shadows persistent
+         (3, "2024-01-01 12:00:00", 3.0)],   # not yet persisted
+        "user_id long, ts string, value double").withColumn("ts", F.to_timestamp("ts"))
+    merged = {r.user_id: r.value for r in
+              lambda_view.lambda_view(transient, persistent).collect()}
+    assert merged == {1: 10.0, 2: 2.0, 3: 3.0}
+
+
+def test_lambda_persist_aged(spark):
+    transient = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 06:00:00", 2.0)],
+        "user_id long, ts string, value double").withColumn("ts", F.to_timestamp("ts"))
+    aged, live = lambda_view.persist_aged(transient, age_seconds=4 * 3600,
+                                          now="2024-01-01 08:00:00")
+    assert {r.user_id for r in aged.collect()} == {1}
+    assert {r.user_id for r in live.collect()} == {2}
+
+
+# -- approximate stats (sketches) ------------------------------------------
+
+def test_hll_cardinality_within_tolerance(events):
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")).collect()[0].a
+    assert abs(approx - exact) / exact < 0.15
+
+
+def test_count_min_sketch_frequencies(spark, events):
+    # CMS overestimates but never underestimates; heavy hitters are close
+    sketch_df = events.agg(
+        F.expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").alias("s"))
+    assert sketch_df.collect()[0].s is not None
+    exact = dict(events.groupBy("event_type").count()
+                 .rdd.map(lambda r: (r.event_type, r["count"])).collect())
+    assert len(exact) >= 2
+
+
+def test_approx_percentile_matches_exact_order(events):
+    qs = events.agg(F.expr(
+        "percentile_approx(value, array(0.25e0, 0.5e0, 0.75e0), 10000)"
+    ).alias("q")).collect()[0].q
+    assert qs[0] <= qs[1] <= qs[2]
+    lo, hi = events.agg(F.min("value"), F.max("value")).collect()[0]
+    assert lo <= qs[0] and qs[2] <= hi
