@@ -312,6 +312,37 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proc.convex_hull_agg(df, "event_type")
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path: decode synthetic image bytes (Arrow batches), compute
+    per-image pixel stats, roll up per format. Rows-only (the deterministic
+    GSI1 codec is not SQL-expressible); PSNR/caption fidelity is gated in
+    tests/test_images_pipeline.py."""
+    from geomesa_spark.operators.multimodal import decode_stats
+    from geomesa_spark.sources.images import synthetic_images
+    imgs = synthetic_images(spark, 512)
+    stats = decode_stats(imgs)
+    return (stats.groupBy("fmt")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("mean_r"), 2).alias("avg_r"),
+                 F.round(F.avg("std_lum"), 2).alias("avg_std")))
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over image bytes: 64-bit average hash groups.
+    Rows-only (binary decode outside SQL)."""
+    from geomesa_spark.operators.multimodal import avg_hash
+    from geomesa_spark.sources.images import synthetic_images
+    imgs = synthetic_images(spark, 512)
+    # plant duplicates: re-ingest every 4th image under a new id (same
+    # bytes -> same perceptual hash), the image analog of the documents
+    # corpus' planted duplicates
+    copies = (imgs.where("id % 4 = 0")
+              .withColumn("image_id", F.concat(F.col("image_id"), F.lit("_copy"))))
+    hashed = avg_hash(imgs.unionByName(copies))
+    return (hashed.groupBy("ahash").agg(F.count("*").alias("n_images"))
+            .where(F.col("n_images") > 1))
+
+
 PROCESS_QUERIES = {
     "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
     "tube_select": (q_tube_select, Q_TUBE_SQL),
@@ -325,4 +356,6 @@ PROCESS_QUERIES = {
     "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),
     "convex_hull": (q_convex_hull, None),
     "xz3_bbox_during": (q_xz3_bbox_during, Q_XZ3_SQL),
+    "image_stats": (q_image_stats, None),
+    "image_phash_dedup": (q_image_phash_dedup, None),
 }
