@@ -312,6 +312,32 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proc.convex_hull_agg(df, "event_type")
 
 
+def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection (QueryPlanner reproject analog): EPSG:4326 ->
+    EPSG:3857 web mercator, integer-meter outputs (libm last-ulp safe)."""
+    from geomesa_spark.functions.crs import reproject_4326_to_3857
+    df = geo_events(spark, sf_dir)
+    out = reproject_4326_to_3857(df)
+    return out.select("event_id",
+                      F.floor("x").cast("long").alias("merc_x_m"),
+                      F.floor("y").cast("long").alias("merc_y_m"))
+
+
+def _reproject_sql() -> str:
+    from geomesa_spark.functions.crs import mercator_sql
+    x, y = mercator_sql("lon", "lat")
+    return f"""
+{GEO}
+SELECT event_id,
+       CAST(floor({x}) AS BIGINT) AS merc_x_m,
+       CAST(floor({y}) AS BIGINT) AS merc_y_m
+FROM geo
+"""
+
+
+Q_REPROJECT_SQL = _reproject_sql()
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path: decode synthetic image bytes (Arrow batches), compute
     per-image pixel stats, roll up per format. Rows-only (the deterministic
@@ -356,6 +382,7 @@ PROCESS_QUERIES = {
     "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),
     "convex_hull": (q_convex_hull, None),
     "xz3_bbox_during": (q_xz3_bbox_during, Q_XZ3_SQL),
+    "reproject": (q_reproject, Q_REPROJECT_SQL),
     "image_stats": (q_image_stats, None),
     "image_phash_dedup": (q_image_phash_dedup, None),
 }
