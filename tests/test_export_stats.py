@@ -11,7 +11,11 @@ from geomesa_spark.streaming import lambda_view
 
 @pytest.fixture(scope="module")
 def events(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    # unpersist on teardown: a cached raw-parquet plan would otherwise be
+    # substituted into OTHER tests' identical scans (plan-shape assertions)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 # -- arrow export ----------------------------------------------------------
