@@ -261,7 +261,8 @@ WHERE (event_type LIKE 'sign%' OR event_type IN ('error', 'purchase'))
 def q_json_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-path attribute query (ObjectType json=true analog)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # from_json with an explicit schema beats per-row JsonPath evaluation
+    k = F.from_json("props", "k INT").getField("k")
     return (ev.withColumn("k", k)
             .where("k % 5 = 0")
             .groupBy("k").agg(F.count("*").alias("cnt")))

@@ -57,7 +57,7 @@ def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
 
 def xz3_query_predicate(bbox: tuple, interval_ms: tuple[int, int],
                         g: int = DEFAULT_G, period: str = "week",
-                        max_ranges: int = 256) -> Column:
+                        max_ranges: int = 24) -> Column:
     """Coarse per-bin XZ3 range predicate for a (bbox, interval) query.
 
     OR over time bins of ``xz3_bin = b AND xz3 BETWEEN lo AND hi`` — the
