@@ -103,3 +103,39 @@ class TestCheckpointedPipeline:
         c1 = p1.lineage().collect()[0]["checksum"]
         c2 = p2.lineage().collect()[0]["checksum"]
         assert c1 == c2
+
+
+class TestAttributeIndex:
+    """AttributeJoinIndex analog: covering reads vs join-back by feature id."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, spark, sf_dir, tmp_path_factory):
+        from geomesa_spark.sources.attr_index import (AttributeIndex,
+                                                      write_attribute_index)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        path = str(tmp_path_factory.mktemp("attr_idx"))
+        write_attribute_index(ev, path, attr="value", id_col="event_id",
+                              covered=["event_type"])
+        return AttributeIndex(spark, path, ev), ev
+
+    def test_covering_read_matches(self, idx):
+        ai, ev = idx
+        got = ai.query("value BETWEEN 50 AND 60", ["event_id", "event_type"])
+        want = ev.where("value BETWEEN 50 AND 60").select("event_id", "event_type")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+        assert ai.is_covering(["event_id", "event_type"])
+
+    def test_join_back_for_uncovered_columns(self, idx):
+        ai, ev = idx
+        assert not ai.is_covering(["event_id", "user_id"])
+        got = ai.query("value BETWEEN 50 AND 60", ["event_id", "user_id"])
+        want = ev.where("value BETWEEN 50 AND 60").select("event_id", "user_id")
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    def test_attr_predicate_pushdown(self, idx):
+        ai, _ = idx
+        plan = (ai.index_df().where("value BETWEEN 50 AND 60")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PushedFilters" in plan
+        tail = plan.split("PushedFilters")[1][:220]
+        assert "GreaterThanOrEqual(value" in tail
