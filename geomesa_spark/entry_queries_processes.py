@@ -313,6 +313,39 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proc.convex_hull_agg(df, "event_type")
 
 
+def q_density_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extent rasterization: bbox footprints rendered onto a 128x128 grid
+    over the cluster region (DensityScan polygon-renderer analog)."""
+    from geomesa_spark.operators.tiling import density_boxes
+    fp = geo_events(spark, sf_dir).selectExpr(*FOOTPRINT_EXPRS)
+    out = density_boxes(fp, (40.0, 20.0, 50.0, 30.0), 128, 128)
+    return out.select("px", "py", F.round("weight", 1).alias("weight"))
+
+
+Q_DENSITY_FOOTPRINTS_SQL = f"""
+{GEO}, f AS (
+  SELECT lon AS xmin, lat AS ymin,
+         lon + 0.1e0 + (event_id % 10) * 0.05e0 AS xmax,
+         lat + 0.1e0 + (event_id % 7) * 0.05e0 AS ymax
+  FROM geo
+), clipped AS (
+  SELECT least(greatest(cast(floor((xmin - 40.0e0) / 10.0e0 * 128) as bigint), 0), 127) AS px0,
+         least(greatest(cast(floor((xmax - 40.0e0) / 10.0e0 * 128) as bigint), 0), 127) AS px1,
+         least(greatest(cast(floor((ymin - 20.0e0) / 10.0e0 * 128) as bigint), 0), 127) AS py0,
+         least(greatest(cast(floor((ymax - 20.0e0) / 10.0e0 * 128) as bigint), 0), 127) AS py1
+  FROM f
+  WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
+), px AS (
+  SELECT unnest(range(px0, px1 + 1)) AS px, py0, py1 FROM clipped
+), pixels AS (
+  SELECT px, unnest(range(py0, py1 + 1)) AS py FROM px
+)
+SELECT cast(px AS int) AS px, cast(py AS int) AS py,
+       round(cast(count(*) AS double), 1) AS weight
+FROM pixels GROUP BY px, py
+"""
+
+
 def q_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRS reprojection (QueryPlanner reproject analog): EPSG:4326 ->
     EPSG:3857 web mercator, integer-meter outputs (libm last-ulp safe)."""
@@ -384,6 +417,7 @@ PROCESS_QUERIES = {
     "convex_hull": (q_convex_hull, None),
     "xz3_bbox_during": (q_xz3_bbox_during, Q_XZ3_SQL),
     "reproject": (q_reproject, Q_REPROJECT_SQL),
+    "density_footprints": (q_density_footprints, Q_DENSITY_FOOTPRINTS_SQL),
     "image_stats": (q_image_stats, None),
     "image_phash_dedup": (q_image_phash_dedup, None),
 }

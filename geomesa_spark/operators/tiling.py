@@ -77,6 +77,42 @@ def tile_pyramid(df: DataFrame, zooms: list[int], *, tile_px: int = 256,
             .agg(F.sum("__w").alias("weight"), F.count("*").alias("cnt")))
 
 
+def density_boxes(df: DataFrame, envelope: tuple, width: int, height: int, *,
+                  xmin_col: str = "xmin", ymin_col: str = "ymin",
+                  xmax_col: str = "xmax", ymax_col: str = "ymax",
+                  weight: Column | str | None = None) -> DataFrame:
+    """Density grid for EXTENT rows: every pixel a bbox footprint touches
+    gets the row's weight (DensityScan's polygon renderer restricted to
+    rectangles — RenderingGrid.render(Polygon) pixel fill, RenderingGrid
+    .scala:285; general polygon fill composes this with the PIP refine).
+
+    Pure Catalyst: per row, pixel ranges via floor snap, then
+    explode(sequence(..)) x explode(sequence(..)) — no UDF; rows outside
+    the envelope clip to it, fully-disjoint rows drop.
+    """
+    exmin, eymin, exmax, eymax = envelope
+    w = F.lit(1.0) if weight is None else (F.col(weight) if isinstance(weight, str) else weight)
+
+    def snap(col, lo, hi, n_px):
+        frac = (col - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_px)
+        return F.least(F.greatest(F.floor(frac), F.lit(0)), F.lit(n_px - 1)).cast("int")
+
+    overlap = ((F.col(xmax_col) >= exmin) & (F.col(xmin_col) <= exmax)
+               & (F.col(ymax_col) >= eymin) & (F.col(ymin_col) <= eymax))
+    return (df.where(overlap)
+            .withColumn("__px0", snap(F.col(xmin_col), exmin, exmax, width))
+            .withColumn("__px1", snap(F.col(xmax_col), exmin, exmax, width))
+            .withColumn("__py0", snap(F.col(ymin_col), eymin, eymax, height))
+            .withColumn("__py1", snap(F.col(ymax_col), eymin, eymax, height))
+            .withColumn("__w", w)
+            .select(F.explode(F.expr("sequence(__px0, __px1)")).alias("px"),
+                    F.col("__py0"), F.col("__py1"), F.col("__w"))
+            .select("px", F.explode(F.expr("sequence(__py0, __py1)")).alias("py"),
+                    F.col("__w"))
+            .groupBy("px", "py")
+            .agg(F.sum("__w").alias("weight")))
+
+
 def write_tile_pyramid(df: DataFrame, path: str, zooms: list[int], **kwargs) -> None:
     """Materialize the pyramid partitioned by zoom (partition pruning on read)."""
     tiles = tile_pyramid(df, zooms, **kwargs)
