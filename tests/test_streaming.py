@@ -27,51 +27,95 @@ def _write(path, rows):
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
 
 
+BATCH_1 = [
+    (1, "2024-01-01 00:00:00", 1.0),
+    (2, "2024-01-01 00:00:00", 2.0),
+    (3, "2024-01-01 00:00:00", 3.0),
+]
+# newer update for 1, LATE (older) update for 2, new key 4
+BATCH_2 = [
+    (1, "2024-01-02 00:00:00", 10.0),
+    (2, "2023-12-31 00:00:00", 99.0),
+    (4, "2024-01-01 12:00:00", 4.0),
+]
+
+
 @pytest.fixture()
 def input_dir(tmp_path):
     d = tmp_path / "in"
     d.mkdir()
-    # batch 1: initial states
-    _write(d / "a.parquet", [
-        (1, "2024-01-01 00:00:00", 1.0),
-        (2, "2024-01-01 00:00:00", 2.0),
-        (3, "2024-01-01 00:00:00", 3.0),
-    ])
-    # batch 2: newer update for 1, LATE (older) update for 2, new key 4
-    _write(d / "b.parquet", [
-        (1, "2024-01-02 00:00:00", 10.0),
-        (2, "2023-12-31 00:00:00", 99.0),
-        (4, "2024-01-01 12:00:00", 4.0),
-    ])
+    _write(d / "a.parquet", BATCH_1)
+    _write(d / "b.parquet", BATCH_2)
     return str(d)
 
 
-def _run_upsert(spark, input_dir, tmp_path, ttl=None):
-    stream = (spark.readStream.schema(SCHEMA)
-              .option("maxFilesPerTrigger", "1").parquet(input_dir))
+def _drain(spark, input_dir, ckpt, out_dir, ttl=None):
+    """availableNow drain via foreachBatch -> parquet (checkpoint-recoverable
+    — the memory sink cannot resume from a checkpoint). Returns rows
+    emitted by THIS run only (batch ids beyond the previous high-water)."""
+    import glob
+    import os
+
+    def read_out():
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            return None
+        return spark.read.parquet(out_dir)
+
+    prev = read_out()
+    prev_max = (prev.agg(F.max("batch_id")).collect()[0][0]
+                if prev is not None else -1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
     live = upsert.latest_feature_state(stream, "user_id", "ts",
                                        ttl_seconds=ttl)
-    q = (live.writeStream.format("memory").queryName("live_view")
+
+    def sink(batch_df, batch_id):
+        if batch_df.count():
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append").parquet(out_dir))
+
+    q = (live.writeStream.foreachBatch(sink)
          .outputMode("update")
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    out = spark.sql("SELECT * FROM live_view").toPandas()
-    spark.catalog.dropTempView("live_view")
-    return out
+    os.makedirs(out_dir, exist_ok=True)
+    out = read_out()
+    if out is None:
+        import pandas as pd_
+        return pd_.DataFrame(columns=["user_id", "ts", "value", "batch_id"])
+    return out.where(F.col("batch_id") > prev_max).toPandas()
 
 
-def test_upsert_event_time_ordering(spark, input_dir, tmp_path):
-    out = _run_upsert(spark, input_dir, tmp_path)
-    # final state per key = max-ts emitted row
-    final = (out.sort_values("ts").groupby("user_id").last().reset_index())
-    state = {r.user_id: (str(r.ts), r.value) for r in final.itertuples()}
-    assert state[1] == ("2024-01-02 00:00:00", 10.0)   # newer won
-    assert state[2] == ("2024-01-01 00:00:00", 2.0)    # late update ignored
-    assert state[3] == ("2024-01-01 00:00:00", 3.0)
-    assert state[4] == ("2024-01-01 12:00:00", 4.0)
-    # the late row for key 2 must NOT have been emitted at all
-    assert not ((out.user_id == 2) & (out.value == 99.0)).any()
+def _run_upsert(spark, input_dir, tmp_path, ttl=None):
+    return _drain(spark, input_dir, str(tmp_path / "ckpt"),
+                  str(tmp_path / "out"), ttl=ttl)
+
+
+def _run_upsert_ordered(spark, tmp_path, ttl=None):
+    """Two sequential availableNow runs over ONE checkpoint: batch order is
+    deterministic (file listing order within one run is not)."""
+    d = tmp_path / "ordered"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt_ordered")
+    out_dir = str(tmp_path / "out_ordered")
+    _write(d / "a.parquet", BATCH_1)
+    out1 = _drain(spark, str(d), ckpt, out_dir, ttl=ttl)
+    _write(d / "b.parquet", BATCH_2)
+    out2 = _drain(spark, str(d), ckpt, out_dir, ttl=ttl)
+    return out1, out2
+
+
+def test_upsert_event_time_ordering(spark, tmp_path):
+    out1, out2 = _run_upsert_ordered(spark, tmp_path)
+    state1 = {r.user_id: r.value for r in out1.itertuples()}
+    assert state1 == {1: 1.0, 2: 2.0, 3: 3.0}
+    # second run: newer update for 1 emitted, late update for 2 DROPPED
+    # (event-time ordering), new key 4 emitted — key 3 unchanged, no emit
+    state2 = {r.user_id: (str(r.ts), r.value) for r in out2.itertuples()}
+    assert state2 == {1: ("2024-01-02 00:00:00", 10.0),
+                      4: ("2024-01-01 12:00:00", 4.0)}
+    assert not ((out2.user_id == 2) & (out2.value == 99.0)).any()
 
 
 def test_upsert_matches_batch_oracle(spark, input_dir, tmp_path):
