@@ -32,15 +32,15 @@ sh AS (
 )"""
 
 
-def _jaccard_tail(cand_cte: str, thresh: float) -> str:
+def _jaccard_tail(cand_cte: str, thresh: float, sh_cte: str = "sh") -> str:
     """Shared oracle tail: exact Jaccard over candidate pairs from sh."""
     return f"""
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM {sh_cte} GROUP BY doc_id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
   FROM {cand_cte} c
-  JOIN sh s1 ON s1.doc_id = c.id_a
-  JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+  JOIN {sh_cte} s1 ON s1.doc_id = c.id_a
+  JOIN {sh_cte} s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
   GROUP BY c.id_a, c.id_b
 )
 SELECT i.id_a, i.id_b,
@@ -73,15 +73,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docsrc.corpus(spark, sf_dir), threshold=0.5)
 
 
+# mirrors jaccard_pairs' default stop-shingle cap (dedup.DEFAULT_MAX_DF):
+# shingles in more than max_df docs are dropped before sizes + pairing
 Q_NGRAM_JACCARD_SQL = f"""
 {CORPUS},
 {_TOK_CTES},
+shf AS (
+  SELECT s.doc_id, s.sh FROM sh s
+  JOIN (SELECT sh, count(*) AS df FROM sh GROUP BY sh) d ON d.sh = s.sh
+  WHERE d.df <= {dedup.DEFAULT_MAX_DF}
+),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-{_jaccard_tail('cand', 0.5)}
+{_jaccard_tail('cand', 0.5, sh_cte='shf')}
 """
 
 

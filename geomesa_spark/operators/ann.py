@@ -146,11 +146,15 @@ def cosine_topk_arrow(corpus: DataFrame, queries_pd: pd.DataFrame, k: int = 5,
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
                 mask = ids != qid
-                take = min(k, mask.sum())
+                take = min(k, int(mask.sum()))
+                if take == 0:
+                    # batch contains only the query row itself
+                    continue
                 idx = np.argpartition(-col[mask], take - 1)[:take]
                 parts.append(pd.DataFrame({
                     "qid": qid, id_col: ids[mask][idx], "sim": col[mask][idx]}))
-            yield pd.concat(parts, ignore_index=True)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))

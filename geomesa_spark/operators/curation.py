@@ -35,7 +35,6 @@ def curate(spark: SparkSession, docs: DataFrame, root: str,
     partitions via the lineage table.
     """
     pipe = CheckpointedPipeline(spark, root)
-    docs.createOrReplaceTempView("_cur_docs")
 
     part_pred = "doc_id % {n} = {k}"
 
@@ -85,6 +84,9 @@ def curate(spark: SparkSession, docs: DataFrame, root: str,
     def build_kept(key: str) -> DataFrame:
         return kept.where(part_pred.format(n=n_parts, k=key))
 
-    result = pipe.run_stage("kept", [str(i) for i in range(n_parts)], build_kept)
-    pipe.record_metric("kept", "docs_kept", result.rows)
-    return pipe.read_stage("kept")
+    pipe.run_stage("kept", [str(i) for i in range(n_parts)], build_kept)
+    out = pipe.read_stage("kept")
+    # metric from the materialized stage, not this run's written rows — on a
+    # resumed run with all partitions skipped the written count would be 0
+    pipe.record_metric("kept", "docs_kept", out.count())
+    return out

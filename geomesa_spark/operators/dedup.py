@@ -81,13 +81,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_copies") > 1))
 
 
+DEFAULT_MAX_DF = 10_000
+
+
 def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text",
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
-    Returns (id_a < id_b, jac) with jac >= threshold.  `max_df` (optional)
-    drops shingles appearing in more than max_df docs before pairing.
+    Returns (id_a < id_b, jac) with jac >= threshold.  Shingles appearing in
+    more than ``max_df`` docs are dropped before pairing (and before set
+    sizes are taken): the inverted-index self-join is quadratic in each
+    shingle's document frequency, so one ubiquitous shingle would otherwise
+    blow up candidate generation — the stop-shingle cap is ON by default and
+    the oracle SQL mirrors it.  Pass ``max_df=None`` to disable (exact
+    all-shingles semantics, unsafe at corpus scale).
     """
     sh = shingle_set(df, id_col, text_col)
     if max_df is not None:
@@ -132,14 +140,23 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
     banding recall — deterministic, reproduced verbatim by the oracle).
     """
     rows = pt.MINHASH_K // bands
-    sig = minhash_signatures(df, id_col, text_col)
+    # ONE aggregation produces both the minhash signature AND the shingle
+    # set used for exact verification — a single tokenize+shuffle pass over
+    # the corpus; the three consumers below (band explode, verify sides a/b)
+    # share the shuffle via Spark's exchange reuse.
+    sh = shingle_set(df, id_col, text_col)
+    per_doc = sh.groupBy(id_col).agg(
+        *[F.expr(pt.minhash_min("sh", j)).alias(f"m{j}")
+          for j in range(pt.MINHASH_K)],
+        F.collect_set("sh").alias("shset"),
+        F.count("*").alias("n_sh"))
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("-", *[F.col(f"m{b * rows + r}").cast("string")
                                     for r in range(rows)]).alias("key"))
         for b in range(bands)]
-    bands_df = (sig.select(F.col(id_col),
-                           F.explode(F.array(*band_structs)).alias("bk"))
+    bands_df = (per_doc.select(F.col(id_col),
+                               F.explode(F.array(*band_structs)).alias("bk"))
                 .select(id_col, F.col("bk.band").alias("band"),
                         F.col("bk.key").alias("key")))
     la = bands_df.select(F.col(id_col).alias("id_a"), "band", "key")
@@ -148,14 +165,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
-    # exact verify on candidates only: bring shingle sets as arrays
-    sets = (shingle_set(df, id_col, text_col)
-            .groupBy(id_col).agg(F.collect_set("sh").alias("shset"),
-                                 F.count("*").alias("n_sh")))
-    sa = sets.select(F.col(id_col).alias("id_a"),
-                     F.col("shset").alias("set_a"), F.col("n_sh").alias("n_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"),
-                     F.col("shset").alias("set_b"), F.col("n_sh").alias("n_b"))
+    # exact verify on candidates only, from the same per_doc aggregate
+    sa = per_doc.select(F.col(id_col).alias("id_a"),
+                        F.col("shset").alias("set_a"), F.col("n_sh").alias("n_a"))
+    sb = per_doc.select(F.col(id_col).alias("id_b"),
+                        F.col("shset").alias("set_b"), F.col("n_sh").alias("n_b"))
     n_int = F.size(F.array_intersect("set_a", "set_b"))
     jac = n_int.cast("double") / (F.col("n_a") + F.col("n_b") - n_int)
     return (cand.join(sa, "id_a").join(sb, "id_b")
@@ -167,19 +181,23 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document (token multiset, bit-vote aggregation)."""
+    """32-bit SimHash per document (token multiset, bit-vote aggregation).
+
+    The bit votes are `bits` conditional sums inside ONE groupBy over the
+    token stream (vote s_b = 2*ones_b - n, so s_b > 0 <=> 2*ones_b > n) —
+    no sequence-explode multiplying the shuffle by `bits`; the shuffle
+    carries exactly one row per token with map-side partial aggregation.
+    """
     tok = token_hash_rows(df, id_col, text_col).select(id_col, "h")
-    votes = (tok
-             .select(id_col, "h",
-                     F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b"))
-             .withColumn("sign", F.when(
-                 F.expr("(h >> b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)))
-             .groupBy(id_col, "b").agg(F.sum("sign").alias("s")))
-    return (votes
-            .withColumn("bit", F.when(F.col("s") > 0,
-                                      F.expr("CAST(1 AS BIGINT) << b"))
-                        .otherwise(F.lit(0)))
-            .groupBy(id_col).agg(F.sum("bit").alias("simhash")))
+    ones = [F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}")
+            for b in range(bits)]
+    per_doc = tok.groupBy(id_col).agg(F.count("*").alias("n"), *ones)
+    sig = None
+    for b in range(bits):
+        bit = (F.when(F.col(f"o{b}") * 2 > F.col("n"),
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0)))
+        sig = bit if sig is None else sig + bit
+    return per_doc.select(id_col, sig.cast("long").alias("simhash"))
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

@@ -47,10 +47,14 @@ def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
             xmax.to_numpy(np.float64), ymax.to_numpy(np.float64), z))
 
     udf = F.pandas_udf(idx, LongType())
+    # floor/pmod (not cast-truncate / %) so pre-epoch timestamps (negative
+    # millis) still land in the right bin with a non-negative offset; the
+    # reference's BinnedTime rejects pre-epoch dates outright
+    # (z3/BinnedTime.scala), we support them instead.
     millis = (F.unix_timestamp(ts_col) * 1000)
-    offset_sec = ((millis % period_ms) / 1000).cast("double")
+    offset_sec = (F.pmod(millis, F.lit(period_ms)) / 1000).cast("double")
     return (df
-            .withColumn("xz3_bin", (millis / period_ms).cast("long"))
+            .withColumn("xz3_bin", F.floor(millis / period_ms))
             .withColumn("xz3", udf(F.col(xmin_col), F.col(ymin_col),
                                    offset_sec, F.col(xmax_col), F.col(ymax_col))))
 

@@ -16,8 +16,13 @@ buffer :315-396):
 4. exact haversine refine + per-query top-k window
    (row_number over dist — the reference's replace-farthest k-buffer).
 
-Query points are broadcast (they are small); the fact table is scanned with
-an IN-set cell predicate that prunes partitions/files.
+Query points are broadcast (they are small); every scan of the fact table
+carries a driver-built coarse bbox predicate on the RAW lon/lat columns
+derived from the candidate cell set (`_cells_bbox_pred`), so the filter
+reaches the parquet reader (PushedFilters -> row-group / file skipping on a
+sorted layout) and nothing is cached — each phase re-scans only the pruned
+slice, mirroring the reference's iterator-level range scans.  The exact
+cell membership is then enforced by the broadcast join on `__cell`.
 """
 
 from __future__ import annotations
@@ -69,6 +74,43 @@ def cells_covering_radius(qlon: float, qlat: float, res: int, radius_m: float) -
     return sorted(out)
 
 
+def _cells_bbox_pred(cells, res: int, lon_col: str, lat_col: str):
+    """Coarse lon/lat bbox predicate covering a candidate cell set.
+
+    Built driver-side so it pushes down to the parquet scan (lon/lat are
+    stored columns; `__cell` is derived and would not prune files).  The
+    lat range is the cell rows' extent; the lon range is the smallest
+    cyclic arc covering the cell columns (antimeridian wrap becomes an OR
+    of two ranges; >half-circle coverage degenerates to no lon filter).
+    Always a superset of the cells — the broadcast cell join stays exact.
+    """
+    n = 1 << res
+    ixs, iys = set(), set()
+    for c in cells:
+        _, ix, iy = grid.cell_xy(c)
+        ixs.add(ix)
+        iys.add(iy)
+    if not iys:
+        return F.lit(False)
+    lat_lo = -90.0 + min(iys) * 180.0 / n
+    lat_hi = -90.0 + (max(iys) + 1) * 180.0 / n
+    pred = F.col(lat_col).between(lat_lo, lat_hi)
+    if len(ixs) <= n // 2:
+        srt = sorted(ixs)
+        # largest cyclic gap between used columns; its complement is the arc
+        gaps = [(srt[(i + 1) % len(srt)] - srt[i]) % n or n
+                for i in range(len(srt))]
+        gi = max(range(len(srt)), key=gaps.__getitem__)
+        start, end = srt[(gi + 1) % len(srt)], srt[gi]
+        lon_lo = -180.0 + start * 360.0 / n
+        lon_hi = -180.0 + (end + 1) * 360.0 / n
+        if start <= end:
+            pred = pred & F.col(lon_col).between(lon_lo, lon_hi)
+        else:  # wraps the antimeridian
+            pred = pred & ((F.col(lon_col) >= lon_lo) | (F.col(lon_col) <= lon_hi))
+    return pred
+
+
 def _pick_res(total_rows: int, k: int) -> int:
     """Resolution where one cell holds ~4k points on average (uniform est.) —
     the density-based initial window of the reference (:293-299)."""
@@ -91,17 +133,22 @@ def knn_join(points: DataFrame, query_points: list[tuple], k: int, *,
     spark = points.sparkSession
     if res is None:
         res = _pick_res(points.count(), k)
-
-    pts = points.withColumn("__cell", cell_col(F.col(lon_col), F.col(lat_col), res)).cache()
-    try:
-        return _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res,
-                          max_iterations)
-    finally:
-        pts.unpersist()
+    return _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
+                      max_iterations)
 
 
-def _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res, max_iterations):
+def _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
+               max_iterations):
     n = 1 << res
+
+    def pruned_scan(cells):
+        """Fact-table scan restricted to `cells`: pushed bbox prefilter on
+        the stored lon/lat columns + the derived cell column for the exact
+        broadcast join.  No cache — each phase reads only its slice."""
+        return (points
+                .where(_cells_bbox_pred(cells, res, lon_col, lat_col))
+                .withColumn("__cell",
+                            cell_col(F.col(lon_col), F.col(lat_col), res)))
     q_cells = {qid: grid.cell_id(qlon, qlat, res) for qid, qlon, qlat in query_points}
     q_pos = {qid: (qlon, qlat) for qid, qlon, qlat in query_points}
 
@@ -117,7 +164,9 @@ def _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res, max_iteration
                 grew = True
             scanned[qid].update(new_cells)
             radius[qid] *= 2
-        counts = _cum_counts(spark, pts, {q: scanned[q] for q in pending})
+        pend_cells = set().union(*(scanned[q] for q in pending))
+        counts = _cum_counts(spark, pruned_scan(pend_cells),
+                             {q: scanned[q] for q in pending})
         pending = {qid for qid in pending
                    if counts.get(qid, 0) < k and len(scanned[qid]) < n * n}
         if not pending or not grew:
@@ -128,8 +177,9 @@ def _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res, max_iteration
     cand_df = spark.createDataFrame(all_rows, "qid string, __cell long")
     qdf = spark.createDataFrame([(qid, x, y) for qid, (x, y) in q_pos.items()],
                                 "qid string, qlon double, qlat double")
-    joined = (pts.join(F.broadcast(cand_df), "__cell")
-                 .join(F.broadcast(qdf), "qid"))
+    joined = (pruned_scan({c for _, c in all_rows})
+              .join(F.broadcast(cand_df), "__cell")
+              .join(F.broadcast(qdf), "qid"))
     dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
     w = Window.partitionBy("qid").orderBy("dist_m")
     provisional = (joined.withColumn("dist_m", dist)
@@ -148,7 +198,8 @@ def _knn_inner(spark, pts, query_points, k, lon_col, lat_col, res, max_iteration
 
     if extra_rows:
         extra_df = spark.createDataFrame(extra_rows, "qid string, __cell long")
-        extra_joined = (pts.join(F.broadcast(extra_df), "__cell")
+        extra_joined = (pruned_scan({c for _, c in extra_rows})
+                        .join(F.broadcast(extra_df), "__cell")
                         .join(F.broadcast(qdf), "qid"))
         union = joined.unionByName(extra_joined)
     else:

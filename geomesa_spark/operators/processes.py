@@ -54,8 +54,29 @@ def bearing_col(lon1, lat1, lon2, lat2):
 
 
 def _deg_margin(radius_m: float) -> float:
-    # safe bbox prefilter margin: worst-case meters-per-degree at high lat
-    return radius_m / 111_195.0 * 4.0
+    # safe LATITUDE prefilter margin: a meridian degree is >= ~110.57 km
+    # everywhere, so radius/110567 * 1.01 never under-covers in latitude.
+    return radius_m / 110_567.0 * 1.01
+
+
+def _prefilter_cond(lon_col, lat_col, alon_col, alat_col, radius_m: float):
+    """Latitude-aware bbox prefilter that never drops a true match.
+
+    The latitude margin is the constant _deg_margin.  The longitude margin
+    scales by 1/cos(lat) (a degree of longitude shrinks toward the poles);
+    we evaluate cos at the anchor latitude pushed |margin| closer to the
+    pole (the worst case inside the band) and clamp near the pole so the
+    margin degenerates to "any longitude".  The longitude delta is taken
+    modulo 360 so anchors near the antimeridian still match points on the
+    other side of +/-180.  The exact haversine refine runs after this, so
+    the prefilter only needs to be a superset.
+    """
+    m = _deg_margin(radius_m)
+    lat_ok = lat_col.between(alat_col - m, alat_col + m)
+    worst_lat = F.least(F.abs(alat_col) + F.lit(m), F.lit(89.9))
+    m_lon = F.least(F.lit(m) / F.cos(F.radians(worst_lat)), F.lit(180.0))
+    dlon = F.abs(F.pmod(lon_col - alon_col + 180.0, F.lit(360.0)) - 180.0)
+    return lat_ok & (dlon <= m_lon)
 
 
 def proximity_join(points: DataFrame, anchors: list[tuple],
@@ -68,9 +89,8 @@ def proximity_join(points: DataFrame, anchors: list[tuple],
     """
     spark = points.sparkSession
     a = spark.createDataFrame(anchors, "qid string, alon double, alat double")
-    m = _deg_margin(radius_m)
-    cond = ((F.col(lon_col).between(F.col("alon") - m, F.col("alon") + m))
-            & (F.col(lat_col).between(F.col("alat") - m, F.col("alat") + m)))
+    cond = _prefilter_cond(F.col(lon_col), F.col(lat_col),
+                           F.col("alon"), F.col("alat"), radius_m)
     d = haversine_col(F.col(lon_col), F.col(lat_col),
                       F.col("alon"), F.col("alat"))
     return (points.join(F.broadcast(a), cond)
@@ -92,11 +112,10 @@ def tube_select(points: DataFrame, waypoints: list[tuple],
     spark = points.sparkSession
     w = spark.createDataFrame(waypoints, "wts string, wlon double, wlat double") \
         .withColumn("wts", F.to_timestamp("wts"))
-    m = _deg_margin(radius_m)
     time_ok = (F.abs(F.unix_timestamp(ts_col) - F.unix_timestamp("wts"))
                <= dt_seconds)
-    bbox_ok = ((F.col(lon_col).between(F.col("wlon") - m, F.col("wlon") + m))
-               & (F.col(lat_col).between(F.col("wlat") - m, F.col("wlat") + m)))
+    bbox_ok = _prefilter_cond(F.col(lon_col), F.col(lat_col),
+                              F.col("wlon"), F.col("wlat"), radius_m)
     d = haversine_col(F.col(lon_col), F.col(lat_col),
                       F.col("wlon"), F.col("wlat"))
     key_cols = [c for c in points.columns]
@@ -129,9 +148,8 @@ def route_search(points: DataFrame, route: list[tuple], radius_m: float,
            .where(F.col("_plon").isNotNull())
            .withColumn("heading", bearing_col(F.col("_plon"), F.col("_plat"),
                                               F.col(lon_col), F.col(lat_col))))
-    m = _deg_margin(radius_m)
-    bbox_ok = ((F.col(lon_col).between(F.col("rlon") - m, F.col("rlon") + m))
-               & (F.col(lat_col).between(F.col("rlat") - m, F.col("rlat") + m)))
+    bbox_ok = _prefilter_cond(F.col(lon_col), F.col(lat_col),
+                              F.col("rlon"), F.col("rlat"), radius_m)
     d = haversine_col(F.col(lon_col), F.col(lat_col),
                       F.col("rlon"), F.col("rlat"))
     diff = F.abs(F.col("heading") - F.col("rbearing"))

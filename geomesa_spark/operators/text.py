@@ -101,17 +101,23 @@ def langid(docs: DataFrame, id_col: str = "doc_id",
     asc).  Profiles are tiny (langs x bigrams) -> broadcast join; the scoring
     pass is one explode + groupBy.
     """
-    # the bigram table feeds three aggregations (totals, profile, scoring);
-    # persist it once instead of recomputing the explode+window lineage
-    bg = _bigram_rows(docs, id_col, text_col, lang_col).persist()
-    totals = bg.groupBy(lang_col).agg(F.count("*").alias("tot"))
-    profile = (bg.groupBy(lang_col, "bg").agg(F.count("*").alias("c"))
+    # pre-aggregate the exploded bigram stream to compact per-doc counts
+    # FIRST — everything downstream (lang totals, profiles, doc scoring)
+    # derives from this table, so the only shuffle over corpus-sized data is
+    # this one groupBy, and Spark's exchange reuse shares it across the three
+    # consumers (no persist of a bigger-than-corpus exploded table).
+    bgc = (_bigram_rows(docs, id_col, text_col, lang_col)
+           .groupBy(id_col, lang_col, "bg").agg(F.count("*").alias("c")))
+    totals = bgc.groupBy(lang_col).agg(F.sum("c").alias("tot"))
+    profile = (bgc.groupBy(lang_col, "bg").agg(F.sum("c").alias("lc"))
                .join(totals, lang_col)
                .select(F.col(lang_col).alias("cand_lang"), "bg",
-                       F.floor(F.col("c") * 1e6 / F.col("tot"))
+                       F.floor(F.col("lc") * 1e6 / F.col("tot"))
                        .cast("long").alias("w")))
-    scores = (bg.join(F.broadcast(profile), "bg")
-              .groupBy(id_col, "cand_lang").agg(F.sum("w").alias("score")))
+    # score = sum over the doc's bigram MULTISET of profile weights = sum(c*w)
+    scores = (bgc.join(F.broadcast(profile), "bg")
+              .groupBy(id_col, "cand_lang")
+              .agg(F.sum(F.col("c") * F.col("w")).alias("score")))
     win = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand_lang"))
     return (scores.withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") == 1)

@@ -93,3 +93,42 @@ def test_pip_smj_matches_broadcast(spark, geo):
     got = {(r.poly_id, r.event_id) for r in
            pip_join_smj(geo, poly_df, res=8).select("poly_id", "event_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_proximity_prefilter_polar_and_antimeridian(spark):
+    """High-latitude and antimeridian-straddling matches must survive the
+    bbox prefilter (regression: the old fixed-degree margin dropped both)."""
+    rows = [
+        (1, 179.95, 80.0),    # across the antimeridian from the anchor
+        (2, -179.95, 80.05),  # same side as anchor
+        (3, 170.0, 80.0),     # far away in lon but close in meters? ~193km at lat80
+        (4, -179.95, -80.0),  # wrong hemisphere
+    ]
+    pts = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    anchors = [("a0", -179.98, 80.0)]
+    radius = 50_000.0
+    got = {r.event_id for r in proc.proximity_join(pts, anchors, radius).collect()}
+    # exact refine over all rows (no prefilter) is the truth
+    d = proc.haversine_col(F.col("lon"), F.col("lat"),
+                           F.lit(-179.98), F.lit(80.0))
+    want = {r.event_id for r in pts.where(d <= radius).collect()}
+    assert got == want
+    assert 1 in got  # the antimeridian-crossing pair specifically
+
+
+def test_knn_scan_is_pruned_and_exact(spark, sf_dir, tmp_path):
+    """knn_join: the bbox prefilter reaches the parquet scan (PushedFilters
+    on the stored lon/lat columns — no full-table cache) and the result
+    matches the brute-force oracle."""
+    from geomesa_spark.operators.knn import knn_brute_force, knn_join
+    path = str(tmp_path / "geo_events")
+    geo_events(spark, sf_dir).write.parquet(path)
+    ev = spark.read.parquet(path)
+    qs = [("q0", 46.0, 25.0), ("q1", 45.5, 24.5)]
+    got = knn_join(ev, qs, k=7)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pushed = [seg[:300] for seg in plan.split("PushedFilters: [")[1:]]
+    assert pushed and any("lat" in seg for seg in pushed)
+    g = {(r.qid, r.event_id) for r in got.collect()}
+    w = {(r.qid, r.event_id) for r in knn_brute_force(ev, qs, k=7).collect()}
+    assert g == w and len(g) == 14
