@@ -321,21 +321,52 @@ Q_HISTOGRAM_SQL = ("SELECT cast(floor(value / 50.0) as int) AS bucket, count(*) 
 
 
 def q_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DescriptiveStats: count/min/max/mean/variance per event_type."""
+    """DescriptiveStats: count/min/max/mean/variance/skewness/kurtosis plus
+    covariance/correlation against a second property, per event_type
+    (utils/stats/DescriptiveStats.scala:89-121: populationSkewness =
+    sqrt(n)*m3/m2^1.5, populationExcessKurtosis = n*m4/m2^2 - 3,
+    populationCovariance/Correlation over the property pair).  Spark's
+    skewness/kurtosis ARE the population g1 / excess-g2 forms; the oracle
+    derives them from explicit central moments (DuckDB's builtins are the
+    sample forms)."""
     df = geo_events(spark, sf_dir)
     return (df.groupBy("event_type")
             .agg(F.count("*").alias("cnt"),
                  F.round(F.min("value"), 6).alias("min_v"),
                  F.round(F.max("value"), 6).alias("max_v"),
                  F.round(F.avg("value"), 6).alias("avg_v"),
-                 F.round(F.var_samp("value"), 4).alias("var_v")))
+                 F.round(F.var_samp("value"), 4).alias("var_v"),
+                 F.round(F.skewness("value"), 6).alias("skew_v"),
+                 F.round(F.kurtosis("value"), 6).alias("kurt_v"),
+                 F.round(F.covar_pop("value", "lat"), 4).alias("covar_vl"),
+                 F.round(F.corr("value", "lat"), 6).alias("corr_vl")))
 
 
-Q_STATS_SUMMARY_SQL = """
-SELECT event_type, count(*) AS cnt,
-       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
-       round(avg(value), 6) AS avg_v, round(var_samp(value), 4) AS var_v
-FROM events GROUP BY event_type
+Q_STATS_SUMMARY_SQL = f"""
+{GEO},
+mu AS (
+  SELECT event_type, avg(value) AS m, avg(lat) AS ml FROM geo GROUP BY event_type
+),
+mom AS (
+  SELECT g.event_type, count(*) AS n,
+         min(g.value) AS min_v, max(g.value) AS max_v, avg(g.value) AS avg_v,
+         var_samp(g.value) AS var_v,
+         sum(pow(g.value - mu.m, 2)) AS m2,
+         sum(pow(g.value - mu.m, 3)) AS m3,
+         sum(pow(g.value - mu.m, 4)) AS m4,
+         covar_pop(g.value, g.lat) AS covar_vl,
+         corr(g.value, g.lat) AS corr_vl
+  FROM geo g JOIN mu ON mu.event_type = g.event_type
+  GROUP BY g.event_type
+)
+SELECT event_type, n AS cnt,
+       round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+       round(avg_v, 6) AS avg_v, round(var_v, 4) AS var_v,
+       round(sqrt(n) * m3 / pow(m2, 1.5e0), 6) AS skew_v,
+       round(n * m4 / pow(m2, 2.0e0) - 3.0e0, 6) AS kurt_v,
+       round(covar_vl, 4) AS covar_vl,
+       round(corr_vl, 6) AS corr_vl
+FROM mom
 """
 
 

@@ -403,7 +403,40 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_images") > 1))
 
 
+def q_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DE-9IM relate of every cluster-region point against the diamond
+    polygon (SpatialRelationFunctions.scala:38 ST_Relate).  The points-vs-
+    constant-polygon shape takes the vectorized ray-cast fast path; the
+    oracle reproduces the three possible matrices from the diamond's exact
+    L1 membership form."""
+    from geomesa_spark.functions.st_functions import register
+    register(spark)
+    geo_events(spark, sf_dir).createOrReplaceTempView("_relate_pts")
+    return spark.sql("""
+        SELECT event_id,
+               st_relate(st_makePoint(lon, lat),
+                         st_geomFromWKT('POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))')) AS de9im
+        FROM _relate_pts
+        WHERE lon BETWEEN 44 AND 48 AND lat BETWEEN 21 AND 29
+    """)
+
+
+Q_ST_RELATE_SQL = f"""
+{GEO},
+f AS (
+  SELECT event_id, abs(lon - 46.0e0) / 2.0e0 + abs(lat - 25.0e0) / 4.0e0 AS d
+  FROM geo WHERE lon BETWEEN 44 AND 48 AND lat BETWEEN 21 AND 29
+)
+SELECT event_id,
+       CASE WHEN d < 1.0e0 THEN '0FFFFF212'
+            WHEN d = 1.0e0 THEN 'F0FFFF212'
+            ELSE 'FF0FFF212' END AS de9im
+FROM f
+"""
+
+
 PROCESS_QUERIES = {
+    "st_relate": (q_st_relate, Q_ST_RELATE_SQL),
     "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
     "tube_select": (q_tube_select, Q_TUBE_SQL),
     "route_search": (q_route_search, Q_ROUTE_SQL),

@@ -467,6 +467,58 @@ def _dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     return pd.Series(dist.to_numpy(np.float64) <= np.asarray(d, dtype=np.float64))
 
 
+def _relate(a: pd.Series, b: pd.Series) -> pd.Series:
+    """DE-9IM matrix string (SpatialRelationFunctions.scala:38).
+
+    Vectorized fast path for the hot shape — many points against one
+    constant polygon: one ray-cast classifies the whole batch, and the
+    matrix is one of three constants by location class."""
+    from geomesa_spark.geom import relate as rel
+    if (len(a) and _all_points(a) and b.nunique() == 1
+            and b.iloc[0] is not None):
+        geom = wkb_loads(bytes(b.iloc[0]))
+        if isinstance(geom, model.Polygon):
+            x, y = _point_arrays(a)
+            loc = algos.points_in_polygon(x, y, geom)
+            lut = {algos.IN: "0FFFFF212", algos.BOUNDARY: "F0FFFF212",
+                   algos.OUT: "FF0FFF212"}
+            return pd.Series([lut[int(v)] for v in loc])
+    return pd.Series([rel.relate(x, y) if x is not None and y is not None else None
+                      for x, y in zip(_parse_series(a), _parse_series(b))])
+
+
+def _relate_bool(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
+    """DE-9IM pattern match (SpatialRelationFunctions.scala:39)."""
+    from geomesa_spark.geom import relate as rel
+    return pd.Series([rel.relate_bool(x, y, p)
+                      if x is not None and y is not None and p is not None else None
+                      for x, y, p in zip(_parse_series(a), _parse_series(b), pat)])
+
+
+def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Geometry difference (SpatialRelationFunctions.scala:59); exact for
+    point/line minuends and convex polygonal subtrahends (geom/relate.py)."""
+    from geomesa_spark.geom import relate as rel
+    out = []
+    for x, y in zip(_parse_series(a), _parse_series(b)):
+        out.append(wkb_dumps(rel.difference(x, y))
+                   if x is not None and y is not None else None)
+    return pd.Series(out)
+
+
+def _aggregate_distance_sphere(arr: pd.Series) -> pd.Series:
+    """Great-circle distance between the first two geometries of an array —
+    the collect_list/window companion (SpatialRelationFunctions.scala:52)."""
+    out = []
+    for v in arr:
+        if v is None or len(v) < 2 or v[0] is None or v[1] is None:
+            out.append(None)
+            continue
+        g0, g1 = wkb_loads(bytes(v[0])), wkb_loads(bytes(v[1]))
+        out.append(algos.distance_sphere(g0, g1))
+    return pd.Series(out, dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # registration table
 # ---------------------------------------------------------------------------
@@ -588,6 +640,8 @@ FUNCTIONS: dict[str, tuple] = {
                                         algos.points_in_polygon(x, y, g) == algos.IN)
                                     if isinstance(g, model.Polygon) else algos.points_intersect(x, y, g)), _BOOL),
     "st_dwithin": (_dwithin, _BOOL),
+    "st_relate": (_relate, _S),
+    "st_relateBool": (_relate_bool, _BOOL),
     "st_area": (_measure(algos.area), _D),
     "st_length": (_measure(algos.length), _D),
     "st_lengthSphere": (_measure(algos.length_sphere_m), _D),
@@ -597,7 +651,9 @@ FUNCTIONS: dict[str, tuple] = {
     "st_distanceSpheroid": (_distance_fn("sphere"), _D),
     "st_closestPoint": (_closest_point, _B),
     "st_intersection": (_intersection, _B),
+    "st_difference": (_difference, _B),
     "st_translate": (_translate, _B),
+    "st_aggregateDistanceSphere": (_aggregate_distance_sphere, _D),
 }
 
 

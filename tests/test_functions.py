@@ -155,3 +155,97 @@ class TestSTFunctions:
         """).collect()[0]
         assert wkt_loads(row.env).bounds == (0.0, 0.0, 2.0, 3.0)
         assert row.np == 3
+
+
+class TestRelate:
+    """DE-9IM truth tables ported from the reference's
+    SparkSQLSpatialRelationshipsTest.scala (boxRef vs points/boxes fixtures)
+    and SpatialRelationFunctionsTest.scala st_relate case."""
+
+    BOX = "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"
+    CASES = [
+        # (a, b, expected relate(a, b))
+        ("LINESTRING(1 2, 3 4)", "LINESTRING(5 6, 7 8)", "FF1FF0102"),
+        (BOX, "POINT(5 5)", "0F2FF1FF2"),
+        (BOX, "POINT(0 5)", "FF20F1FF2"),
+        (BOX, "POINT(0 0)", "FF20F1FF2"),
+        (BOX, "POINT(-5 0)", "FF2FF10F2"),
+        (BOX, "POLYGON((1 1, 1 2, 2 2, 2 1, 1 1))", "212FF1FF2"),
+        (BOX, "POLYGON((0 1, 0 2, 1 2, 1 1, 0 1))", "212F11FF2"),
+        (BOX, "POLYGON((-1 1, -1 2, 1 2, 1 1, -1 1))", "212101212"),
+        (BOX, "POLYGON((-1 1, -1 2, 0 2, 0 1, -1 1))", "FF2F11212"),
+        (BOX, "POLYGON((-2 1, -2 2, -1 2, -1 1, -2 1))", "FF2FF1212"),
+        (BOX, "POLYGON((-1 -1, -1 0, 0 0, 0 -1, -1 -1))", "FF2F01212"),
+        ("LINESTRING(0 10, 0 -10)", "LINESTRING(0 0, 1 0)", "F01FF0102"),
+        ("LINESTRING(0 10, 0 -10)", "LINESTRING(-1 0, 1 0)", "0F1FF0102"),
+    ]
+
+    def test_relate_matrices(self):
+        from geomesa_spark.geom import relate as rel
+        for a, b, want in self.CASES:
+            assert rel.relate(wkt_loads(a), wkt_loads(b)) == want, (a, b)
+
+    def test_relate_consistent_with_predicates(self):
+        """The DE-9IM matrix must agree with the SFS predicate truth table
+        the reference asserts (contains/covers/touches/disjoint...)."""
+        from geomesa_spark.geom import relate as rel
+        # reference expectations: name -> (contains, covers, touches, disjoint)
+        box = wkt_loads(self.BOX)
+        exp = {
+            "POINT(5 5)": (True, True, False, False),
+            "POINT(0 5)": (False, True, True, False),
+            "POINT(0 0)": (False, True, True, False),
+            "POINT(-5 0)": (False, False, False, True),
+            "POLYGON((1 1, 1 2, 2 2, 2 1, 1 1))": (True, True, False, False),
+            "POLYGON((0 1, 0 2, 1 2, 1 1, 0 1))": (True, True, False, False),
+            "POLYGON((-1 1, -1 2, 1 2, 1 1, -1 1))": (False, False, False, False),
+            "POLYGON((-1 1, -1 2, 0 2, 0 1, -1 1))": (False, False, True, False),
+            "POLYGON((-2 1, -2 2, -1 2, -1 1, -2 1))": (False, False, False, True),
+            "POLYGON((-1 -1, -1 0, 0 0, 0 -1, -1 -1))": (False, False, True, False),
+        }
+        for w, (c_contains, c_covers, c_touches, c_disjoint) in exp.items():
+            g = wkt_loads(w)
+            assert rel.relate_bool(box, g, "T*****FF*") == c_contains, w
+            assert rel.relate_bool(box, g, "T*****FF*") or not c_contains
+            covers = any(rel.relate_bool(box, g, p) for p in
+                         ("T*****FF*", "*T****FF*", "***T**FF*", "****T*FF*"))
+            assert covers == c_covers, w
+            touches = any(rel.relate_bool(box, g, p) for p in
+                          ("FT*******", "F**T*****", "F***T****"))
+            assert touches == c_touches, w
+            assert rel.relate_bool(box, g, "FF*FF****") == c_disjoint, w
+
+    def test_relate_sql(self, spark):
+        row = spark.sql("""
+            SELECT st_relate(st_geomFromWKT('LINESTRING(1 2, 3 4)'),
+                             st_geomFromWKT('LINESTRING(5 6, 7 8)')) AS r,
+                   st_relateBool(st_geomFromWKT('LINESTRING(1 2, 3 4)'),
+                                 st_geomFromWKT('LINESTRING(5 6, 7 8)'),
+                                 'FF*FF****') AS b,
+                   st_relate(NULL, NULL) AS rn,
+                   st_relateBool(NULL, NULL, NULL) AS bn
+        """).collect()[0]
+        assert row.r == "FF1FF0102"
+        assert row.b is True
+        assert row.rn is None and row.bn is None
+
+    def test_difference_sql(self, spark):
+        row = spark.sql("""
+            SELECT st_area(st_difference(
+                     st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'),
+                     st_geomFromWKT('POLYGON((-1 1, -1 2, 1 2, 1 1, -1 1))'))) AS a,
+                   st_asText(st_difference(
+                     st_geomFromWKT('LINESTRING(-5 5, 15 5)'),
+                     st_geomFromWKT('POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))'))) AS l,
+                   st_difference(NULL, NULL) AS n
+        """).collect()[0]
+        assert abs(row.a - 99.0) < 1e-9
+        assert row.l == "MULTILINESTRING ((-5 5, 0 5), (10 5, 15 5))"
+        assert row.n is None
+
+    def test_aggregate_distance_sphere_sql(self, spark):
+        row = spark.sql("""
+            SELECT st_aggregateDistanceSphere(array(
+                     st_makePoint(0.0, 0.0), st_makePoint(10.0, 0.0))) AS d
+        """).collect()[0]
+        assert abs(row.d - 1113194.0) < 2000.0  # reference: beCloseTo(1113194, 1)
