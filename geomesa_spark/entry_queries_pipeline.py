@@ -281,22 +281,29 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
 
 
+def _band_cte(src: str) -> str:
+    """(vec_id, embedding, band, key) rows — banded sign-LSH signature."""
+    selects = [
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"{ann.band_key_sql('embedding', D, b)} AS key FROM {src}"
+        for b in range(ann.DEFAULT_BANDS)]
+    return " UNION ALL ".join(selects)
+
+
 Q_ANN_LSH_SQL = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
-         {ann.bucket_sql_expr('embedding', D)} AS bucket
-  FROM embeddings
-),
-q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 5),
-scored AS (
+WITH b AS ({_band_cte('embeddings')}),
+q AS (SELECT vec_id AS qid, embedding AS qvec, band, key
+      FROM b WHERE vec_id < 5),
+cand AS (
   SELECT q.qid, b.vec_id,
-         {_cos_sql('b.embedding', 'q.qvec')} AS sim
-  FROM b JOIN q USING (bucket) WHERE b.vec_id != q.qid
+         max({_cos_sql('b.embedding', 'q.qvec')}) AS sim
+  FROM b JOIN q ON b.band = q.band AND b.key = q.key AND b.vec_id != q.qid
+  GROUP BY q.qid, b.vec_id
 ),
 ranked AS (
   SELECT qid, vec_id, row_number() OVER (
            PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
-  FROM scored
+  FROM cand
 )
 SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
 """
@@ -309,15 +316,13 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EMBED_NEAR_DUP_SQL = f"""
 {VECS},
-b AS (
-  SELECT vec_id, embedding,
-         {ann.bucket_sql_expr('embedding', D)} AS bucket
-  FROM vecs
-),
+b AS ({_band_cte('vecs')}),
 pairs AS (
   SELECT a.vec_id AS id_a, z.vec_id AS id_b,
-         {_cos_sql('a.embedding', 'z.embedding')} AS sim
-  FROM b a JOIN b z ON a.bucket = z.bucket AND a.vec_id < z.vec_id
+         max({_cos_sql('a.embedding', 'z.embedding')}) AS sim
+  FROM b a JOIN b z
+    ON a.band = z.band AND a.key = z.key AND a.vec_id < z.vec_id
+  GROUP BY a.vec_id, z.vec_id
 )
 SELECT id_a, id_b, CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm
 FROM pairs WHERE sim >= 0.99e0

@@ -9,14 +9,20 @@ Scale design (10^9+ vectors):
 * brute-force top-k broadcasts the (small) query set and scans the corpus
   once — the correct baseline plan; per-partition partial top-k happens
   map-side via the rank window's sort spill.
-* lsh_topk assigns every vector to a sign-hyperplane bucket (8 planes ->
-  256 buckets) at write time; a query probes only its own bucket — the
-  bucket column is the shuffle/partition key, exactly the cell-id role in
-  the spatial engine (SURVEY.md §1.3).  Same-bucket join is a hash join on
-  bucket id, never a cross join.
-* near_dup_pairs self-joins within buckets only, then refines on exact
-  cosine — the embedding analog of cell-join + exact-geometry refine
-  (GeoMesaJoinRelation.scala:41-91).
+* lsh_topk / near_dup_pairs use BANDED sign-LSH with OR-amplification
+  (the minhash-banding design of operators/dedup.py applied to
+  hyperplane signs): the signature is `bands` groups of `bits` sign bits
+  each; two vectors are candidates when they share ANY band key.  The
+  per-band keyspace is 2^bits, and `bits` scales with corpus size
+  (`band_bits`: expected band-bucket occupancy ~ target), so the
+  within-bucket work stays O(near-dups) instead of collapsing into a
+  fixed 256-bucket all-pairs join at large n.  The (band, key) pair is
+  the shuffle/partition key — the cell-id role in the spatial engine
+  (SURVEY.md §1.3); the same-key join is a hash join, never a cross join.
+* candidates are refined with exact cosine — the embedding analog of
+  cell-join + exact-geometry refine (GeoMesaJoinRelation.scala:41-91).
+  Exactly-scaled duplicates share every sign, hence every band: recall 1
+  for true duplicates at any `bits`.
 
 For very wide vectors the expression fold can be swapped for a pandas-UDF
 matmul (numpy BLAS) — provided as `cosine_topk_arrow` — at the cost of
@@ -35,27 +41,63 @@ from pyspark.sql import functions as F
 
 from geomesa_spark.functions import portable as pt
 
-N_PLANES = 8
 DIM = 64
-PLANES = pt.hyperplanes(N_PLANES, DIM)
+DEFAULT_BANDS = 4
+DEFAULT_BITS = 4  # per-band keyspace 2^bits; fixed value used by the
+                  # oracle-checked queries (static SQL); operators accept
+                  # bits=None to auto-scale from the corpus size
 
 
-def with_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Adds the 8-bit sign-LSH `bucket` column (0..255), pure Catalyst."""
-    bucket = None
-    for j, plane in enumerate(PLANES):
+def band_bits(n_rows: int, target_bucket: int = 1024) -> int:
+    """Bits per band so the EXPECTED random band-bucket occupancy is about
+    `target_bucket` rows: 2^bits >= n/target.  Clamped to [4, 24]."""
+    import math
+    if n_rows <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_rows / target_bucket))))
+
+
+def _band_planes(bands: int, bits: int) -> list[list[list[float]]]:
+    planes = pt.hyperplanes(bands * bits, DIM)
+    return [planes[b * bits:(b + 1) * bits] for b in range(bands)]
+
+
+def _band_key_col(vec_col: str, planes: list[list[float]]):
+    """Sign-bit key of one band as a Catalyst int expression."""
+    key = None
+    for j, plane in enumerate(planes):
         bit = F.when(F.expr(pt.dot_literal(vec_col, plane, pt.SPARK)) > 0,
                      F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
-    return df.withColumn("bucket", bucket.cast("int"))
+        key = bit if key is None else (key + bit)
+    return key.cast("int")
 
 
-def bucket_sql_expr(vec_col: str, d: str) -> str:
-    """The same bucket assignment as a dialect SQL expression (oracle side)."""
+def band_key_sql(vec_col: str, d: str, band: int,
+                 bands: int = DEFAULT_BANDS, bits: int = DEFAULT_BITS) -> str:
+    """One band's key as a dialect SQL expression (oracle side)."""
+    planes = _band_planes(bands, bits)[band]
     parts = [f"(CASE WHEN ({pt.dot_literal(vec_col, plane, d)}) > 0 "
              f"THEN {1 << j} ELSE 0 END)"
-             for j, plane in enumerate(PLANES)]
+             for j, plane in enumerate(planes)]
     return "(" + " + ".join(parts) + ")"
+
+
+def with_band_keys(df: DataFrame, vec_col: str = "embedding",
+                   bands: int = DEFAULT_BANDS,
+                   bits: int | None = DEFAULT_BITS) -> DataFrame:
+    """Explodes each row into `bands` rows with (band, key) columns.
+
+    Pure Catalyst; the signature costs bands*bits dot products per row,
+    computed once at assignment (write) time in a real deployment."""
+    if bits is None:
+        bits = band_bits(df.count())
+    structs = [F.struct(F.lit(b).alias("band"),
+                        _band_key_col(vec_col, planes).alias("key"))
+               for b, planes in enumerate(_band_planes(bands, bits))]
+    return (df.withColumn("_bk", F.explode(F.array(*structs)))
+            .withColumn("band", F.col("_bk.band"))
+            .withColumn("key", F.col("_bk.key"))
+            .drop("_bk"))
 
 
 def _sim(vec_a: str, vec_b: str):
@@ -82,39 +124,49 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k probing only the query's sign-LSH bucket (scale path)."""
-    c = with_bucket(corpus, vec_col)
-    q = (with_bucket(queries, vec_col)
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             bands: int = DEFAULT_BANDS,
+             bits: int | None = DEFAULT_BITS) -> DataFrame:
+    """ANN top-k over banded sign-LSH candidates (scale path).
+
+    Candidates = corpus rows sharing >=1 band key with the query (broadcast
+    hash join on (band, key)); each candidate scored once (max over dup
+    band hits), exact rank window on the small candidate set."""
+    c = with_band_keys(corpus, vec_col, bands, bits)
+    q = (with_band_keys(queries, vec_col, bands, bits)
          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                 "bucket"))
+                 "band", "key"))
     sim = _sim(vec_col, "qvec")
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
-    return (c.join(F.broadcast(q), "bucket")
+    return (c.join(F.broadcast(q), ["band", "key"])
             .where(F.col("qid") != F.col(id_col))
             .withColumn("sim", sim)
+            .groupBy("qid", id_col).agg(F.max("sim").alias("sim"))
             .withColumn("ann_rank", F.row_number().over(win))
             .where(F.col("ann_rank") <= k)
             .select("qid", id_col, "ann_rank"))
 
 
 def near_dup_pairs(corpus: DataFrame, threshold: float = 0.99,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs: bucket-join candidates + exact refine.
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   bands: int = DEFAULT_BANDS,
+                   bits: int | None = DEFAULT_BITS) -> DataFrame:
+    """Embedding near-duplicate pairs: banded-LSH candidates + exact refine.
 
-    Same-sign-bucket pairs (duplicates always share the bucket: scaling by a
-    positive factor preserves every hyperplane sign) refined with exact
-    cosine >= threshold.  Output (id_a < id_b, sim_ppm).
-    """
-    b = with_bucket(corpus, vec_col)
+    Pairs sharing any band key (duplicates always do: positive scaling
+    preserves every hyperplane sign) refined with exact cosine >=
+    threshold; duplicate band hits are collapsed by the (id_a, id_b)
+    aggregation.  Output (id_a < id_b, sim_ppm)."""
+    b = with_band_keys(corpus, vec_col, bands, bits)
     la = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-                  "bucket")
+                  "band", "key")
     lb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-                  "bucket")
+                  "band", "key")
     sim = _sim("vec_a", "vec_b")
-    return (la.join(lb, "bucket")
+    return (la.join(lb, ["band", "key"])
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("sim", sim)
+            .groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
             .where(F.col("sim") >= threshold)
             .select("id_a", "id_b",
                     F.floor(F.col("sim") * 1e6).cast("long").alias("sim_ppm")))

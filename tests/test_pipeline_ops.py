@@ -99,14 +99,45 @@ def test_ann_arrow_matches_fold(spark, sf_dir):
 
 
 def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """Every LSH neighbor must share at least one band key with its query."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
     rows = out.collect()
     assert len(rows) > 0
-    buckets = {r.vec_id: r.bucket
-               for r in ann.with_bucket(embs).select("vec_id", "bucket").collect()}
+    keys: dict[int, set] = {}
+    for r in ann.with_band_keys(embs).select("vec_id", "band", "key").collect():
+        keys.setdefault(r.vec_id, set()).add((r.band, r.key))
     for r in rows:
-        assert buckets[r.vec_id] == buckets[r.qid]
+        assert keys[r.vec_id] & keys[r.qid]
+
+
+def test_band_bits_bounds_bucket_occupancy(spark):
+    """Auto-scaled bits keep random band-bucket occupancy bounded, and
+    planted scaled duplicates are always candidates (share every band)."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(7)
+    n = 2000
+    vecs = rng.normal(size=(n, ann.DIM))
+    # skew: half the corpus leans toward one direction (hot region)
+    vecs[: n // 2] += 2.0 * np.ones(ann.DIM)
+    pdf = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    bits = ann.band_bits(n, target_bucket=64)
+    assert bits >= 5  # 2^5 = 32 >= n/64
+    bk = ann.with_band_keys(df, bands=4, bits=bits)
+    occ = bk.groupBy("band", "key").count().agg(F.max("count")).collect()[0][0]
+    # even with the skewed half, no band bucket holds the whole corpus
+    assert occ < n * 3 // 4
+    # scaled duplicate of vec 0 shares every band key with vec 0
+    dup = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [99999], "embedding": [(vecs[0] * 2.5).tolist()]}))
+    dkeys = {(r.band, r.key) for r in
+             ann.with_band_keys(dup, bands=4, bits=bits).collect()}
+    okeys = {(r.band, r.key) for r in bk.where("vec_id = 0")
+             .select("band", "key").collect()}
+    assert dkeys == okeys
 
 
 def test_langid_scores_all_docs(corpus):
