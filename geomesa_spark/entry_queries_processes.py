@@ -435,8 +435,51 @@ FROM f
 """
 
 
+def q_s2_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 index scan: vectorized leaf-cell assignment (Hilbert lookup
+    kernel, cells/s2.py) + the library-exact 8-cell covering of the query
+    bbox as a range prefilter + exact bbox refine — the engine analog of
+    S2IndexKeySpace.getRanges (index/s2/S2IndexKeySpace.scala:45-48,
+    curve/S2SFC.scala:37-64).  Oracle is the plain bbox filter: the
+    covering can only over-select (golden-tested cover property), the
+    refine makes it exact."""
+    from functools import reduce
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from geomesa_spark.cells.s2 import S2SFC
+    sfc = S2SFC(0, 30, 1, 8)
+
+    def leaf(lon, lat):
+        return pd.Series(sfc.index_np(lon.to_numpy(np.float64),
+                                      lat.to_numpy(np.float64)))
+
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot resolve
+    leaf.__annotations__ = {"lon": pd.Series, "lat": pd.Series,
+                            "return": pd.Series}
+    udf = F.pandas_udf(leaf, LongType())
+    df = geo_events(spark, sf_dir).withColumn("s2", udf("lon", "lat"))
+    ranges = sfc.ranges([(40.0, 20.0, 50.0, 30.0)])
+    pre = reduce(lambda a, c: a | c,
+                 [F.col("s2").between(r.lower, r.upper) for r in ranges])
+    return (df.where(pre)
+            .where("lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0")
+            .select("event_id"))
+
+
+Q_S2_INDEX_SQL = f"""
+{GEO}
+SELECT event_id FROM geo
+WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
+"""
+
+
 PROCESS_QUERIES = {
     "st_relate": (q_st_relate, Q_ST_RELATE_SQL),
+    "s2_index": (q_s2_index, Q_S2_INDEX_SQL),
     "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
     "tube_select": (q_tube_select, Q_TUBE_SQL),
     "route_search": (q_route_search, Q_ROUTE_SQL),

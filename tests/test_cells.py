@@ -356,3 +356,86 @@ class TestXZ3:
         rs = sfc.ranges([(-180.0, -90.0, 0.0, 180.0, 90.0, sfc.zhi)])
         idx = sfc.index(42.0, -17.0, 12345.0, 43.0, -16.0, 12400.0)
         assert any(r.lower <= idx <= r.upper for r in rs)
+
+
+class TestS2:
+    """Golden parity with the reference S2 curve (S2SFCTest.scala) plus
+    invariants of the cell-id scheme."""
+
+    GOLDEN_1 = [  # sfc.ranges(34.9 -> 45.1, 54.9 -> 75.1)
+        (4683743612465315841, 4719772409484279807),
+        (4899914195555844097, 4899916394579099647),
+        (4899916394579099649, 4935945191598063615),
+        (5017009984890732545, 5026017184145473535),
+        (5088926841440305153, 5089067578928660479),
+        (5089067578928660481, 5098074778183401471),
+        (5100326577997086721, 5102578377810771967),
+    ]
+    GOLDEN_2 = [  # sfc.ranges(35d -> 45d, 55d -> 75d)
+        (4683743612465315841, 4719772409484279807),
+        (4899916394579099647, 4899916394579099647),
+        (4899916394579099649, 4935945191598063615),
+        (5017009984890732545, 5026017184145473535),
+        (5089032394556571649, 5089067578928660479),
+        (5089067578928660481, 5098074778183401471),
+        (5100326577997086721, 5102578377810771967),
+    ]
+
+    @pytest.fixture(scope="class")
+    def sfc(self):
+        from geomesa_spark.cells.s2 import S2SFC
+        return S2SFC(0, 30, 1, 8)
+
+    def test_golden_ranges(self, sfc):
+        got = sorted((r.lower, r.upper)
+                     for r in sfc.ranges([(34.9, 54.9, 45.1, 75.1)]))
+        assert got == sorted(self.GOLDEN_1)
+
+    def test_golden_ranges_2(self, sfc):
+        got = sorted((r.lower, r.upper)
+                     for r in sfc.ranges([(35.0, 55.0, 45.0, 75.0)]))
+        assert got == sorted(self.GOLDEN_2)
+
+    def test_index_invert_roundtrip(self, sfc):
+        rng = np.random.RandomState(5)
+        for lon, lat in zip(rng.uniform(-179.9, 179.9, 50),
+                            rng.uniform(-89.9, 89.9, 50)):
+            cid = sfc.index(lon, lat)
+            ilon, ilat = sfc.invert(cid)
+            # leaf cells are ~1cm: the center is within a microdegree
+            assert abs(ilon - lon) < 1e-5 and abs(ilat - lat) < 1e-5
+
+    def test_index_np_matches_scalar(self, sfc):
+        rng = np.random.RandomState(6)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-90, 90, 500)
+        got = sfc.index_np(lon, lat)
+        for i in range(0, 500, 17):
+            assert int(got[i]) == sfc.index(lon[i], lat[i])
+
+    def test_covering_covers_points_inside(self, sfc):
+        """Cover property: every point inside the rect falls in some range."""
+        rng = np.random.RandomState(8)
+        ranges = sfc.ranges([(34.9, 54.9, 45.1, 75.1)])
+        lon = rng.uniform(34.9, 45.1, 300)
+        lat = rng.uniform(54.9, 75.1, 300)
+        ids = sfc.index_np(lon, lat)
+        for v in ids:
+            assert any(r.lower <= int(v) <= r.upper for r in ranges)
+
+    def test_cell_hierarchy(self):
+        from geomesa_spark.cells import s2
+        cid = s2.from_lat_lng(40.0, -70.0)
+        assert s2.level(cid) == 30
+        p = s2.parent(cid, 10)
+        assert s2.level(p) == 10
+        assert s2.range_min(p) <= cid <= s2.range_max(p)
+        kids = s2.children(p)
+        assert len(kids) == 4
+        assert all(s2.level(k) == 11 for k in kids)
+        assert all(s2.range_min(p) <= k <= s2.range_max(p) for k in kids)
+
+    def test_lenient_and_bounds(self, sfc):
+        assert sfc.index(200.0, 95.0, lenient=True) == sfc.index(180.0, 90.0)
+        with pytest.raises(ValueError):
+            sfc.index(200.0, 0.0)
