@@ -201,7 +201,9 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
                 acc -> acc.b OR acc.i))""")
         out = (joined.join(F.broadcast(edges_df), "__pidx", "left")
                .where(F.col("__pidx").isNull() | refine))
-        return out.drop("__cell", "__pidx", "__convex", "__edges")
+        return _attach_geom(spark, out.drop("__cell", "__pidx", "__convex",
+                                            "__edges"),
+                            polys, poly_id_col, id_type, keep_geom)
 
     # General path (line/point geometries in the mix): split interior rows
     # (pidx NULL -> already exact) from boundary rows BEFORE the pandas UDF —
@@ -213,7 +215,22 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
     boundary = joined.where(F.col("__pidx").isNotNull()).where(
         _refine_indexed_udf(geoms, predicate)(F.col(lon_col), F.col(lat_col),
                                               F.col("__pidx")))
-    return interior.unionByName(boundary).drop("__cell", "__pidx")
+    return _attach_geom(spark,
+                        interior.unionByName(boundary).drop("__cell", "__pidx"),
+                        polys, poly_id_col, id_type, keep_geom)
+
+
+def _attach_geom(spark, out: DataFrame, polys, poly_id_col: str,
+                 id_type: str, keep_geom: bool) -> DataFrame:
+    """Re-attach the matched polygon's WKB (`__geom`) when keep_geom=True —
+    a tiny broadcast join on the polygon id."""
+    if not keep_geom:
+        return out
+    from geomesa_spark.geom.wkb import wkb_dumps
+    geom_df = spark.createDataFrame(
+        [(pid, bytearray(wkb_dumps(g))) for pid, g, _b in polys],
+        f"{poly_id_col} {id_type}, __geom binary")
+    return out.join(F.broadcast(geom_df), poly_id_col)
 
 
 def _bbox_covers(outer: tuple, inner: tuple) -> bool:

@@ -137,3 +137,31 @@ class SpatialQuery:
         if self.limit:
             out = out.limit(self.limit)
         return out
+
+    def plan(self, indices: list[str], stats=None, cardinality=None,
+             temporal_priority: bool = False):
+        """Cost-based index choice for this query (StrategyDecider analog).
+
+        Returns the cheapest plans/decider.Strategy over the table's
+        available indices; `where` attribute predicates participate when
+        written as simple `col = value` / `col IN (...)` conjuncts."""
+        from geomesa_spark.plans import decider
+
+        geom = _as_geometry(self.geometry) if self.geometry is not None else None
+        bbox = (tuple(self.bbox) if self.bbox is not None
+                else (geom.bounds if geom is not None else None))
+        attrs = []
+        if self.where is not None:
+            import re
+            for m in re.finditer(r"(\w+)\s*=\s*('[^']*'|[\w.]+)", self.where):
+                attrs.append(decider.AttrPredicate(m.group(1), "eq",
+                                                   (m.group(2).strip("'"),)))
+            for m in re.finditer(r"(\w+)\s+IN\s*\(([^)]*)\)", self.where,
+                                 re.IGNORECASE):
+                vals = tuple(v.strip().strip("'")
+                             for v in m.group(2).split(","))
+                attrs.append(decider.AttrPredicate(m.group(1), "in", vals))
+        spec = decider.QuerySpec(bbox=bbox, interval=self.interval,
+                                 attrs=tuple(attrs))
+        return decider.select_strategy(spec, indices, stats, cardinality,
+                                       temporal_priority)

@@ -43,19 +43,10 @@ def _all_parse_wkt(values: list) -> str | None:
     return kinds.pop() if len(kinds) == 1 else "Geometry"
 
 
-def infer_csv(spark: SparkSession, path: str, sample_rows: int = 100,
-              header: bool = True) -> tuple[DataFrame, str]:
-    """Read a CSV with full type inference (numbers/booleans via Spark,
-    timestamps and WKT geometry via sampling). Returns (df, sft_spec).
-
-    Geometry columns stay WKT strings with a parsed-type annotation in the
-    spec (the engine's geometry payloads are WKT/WKB columns; see SURVEY
-    §1.2); the first geometry column is the default (starred) one.
-    """
-    df = (spark.read.option("header", str(header).lower())
-          .option("inferSchema", "true")
-          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
-          .csv(path))
+def _promote_and_spec(spark: SparkSession, df: DataFrame,
+                      sample_rows: int) -> tuple[DataFrame, str]:
+    """Shared promotion pass: sample string columns, promote to timestamps
+    / annotate WKT geometries, emit the SFT spec string."""
     sample = df.limit(sample_rows).collect()
 
     geom_cols: dict[str, str] = {}
@@ -91,6 +82,73 @@ def infer_csv(spark: SparkSession, path: str, sample_rows: int = 100,
         else:
             parts.append(f"{name}:{_SFT_NAMES.get(field.dataType, 'String')}")
     return df, ",".join(parts)
+
+
+def infer_csv(spark: SparkSession, path: str, sample_rows: int = 100,
+              header: bool = True) -> tuple[DataFrame, str]:
+    """Read a CSV with full type inference (numbers/booleans via Spark,
+    timestamps and WKT geometry via sampling). Returns (df, sft_spec).
+
+    Geometry columns stay WKT strings with a parsed-type annotation in the
+    spec (the engine's geometry payloads are WKT/WKB columns; see SURVEY
+    §1.2); the first geometry column is the default (starred) one.
+    """
+    df = (spark.read.option("header", str(header).lower())
+          .option("inferSchema", "true")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+          .csv(path))
+    return _promote_and_spec(spark, df, sample_rows)
+
+
+def infer_json(spark: SparkSession, path: str,
+               sample_rows: int = 100) -> tuple[DataFrame, str]:
+    """JSON-lines ingest with type inference (convert2/TypeInference.scala
+    + the JSON converter module).  Spark infers the base schema; this adds
+    the converter's geo passes:
+
+    * GeoJSON geometry objects ({"type": ..., "coordinates": ...} structs)
+      are converted to WKT string columns and annotated in the spec;
+    * string columns that all parse as WKT are annotated as geometries;
+    * string columns that all parse as timestamps are promoted.
+
+    Nested structs are flattened one level with dotted names (the JSON
+    converter's json-path `$.a.b` surface).
+    """
+    df = spark.read.json(path)
+
+    # GeoJSON structs -> WKT strings (vectorized over to_json batches)
+    import pandas as pd
+
+    def geojson_to_wkt(s):
+        import json as _json
+
+        from geomesa_spark.functions.st_functions import _from_geojson_obj
+        from geomesa_spark.geom import wkt as _wkt
+        return pd.Series([
+            _wkt.wkt_dumps(_from_geojson_obj(_json.loads(v)))
+            if v is not None else None for v in s])
+
+    geojson_to_wkt.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    gj_udf = F.pandas_udf(geojson_to_wkt, T.StringType())
+
+    for field in list(df.schema.fields):
+        if isinstance(field.dataType, T.StructType):
+            names = {f.name for f in field.dataType.fields}
+            if {"type", "coordinates"} <= names:
+                df = df.withColumn(field.name,
+                                   gj_udf(F.to_json(F.col(field.name))))
+
+    # flatten one level of remaining structs: a.b -> `a.b` columns
+    cols = []
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.StructType):
+            for sub in field.dataType.fields:
+                cols.append(F.col(f"{field.name}.{sub.name}")
+                            .alias(f"{field.name}.{sub.name}"))
+        else:
+            cols.append(F.col(field.name))
+    df = df.select(*cols)
+    return _promote_and_spec(spark, df, sample_rows)
 
 
 class RoutedView:

@@ -1,0 +1,88 @@
+"""Geo export sinks: GeoJSON / GML / Leaflet / Shapefile round-trips
+(ExportFormat.scala:51-113 long tail)."""
+
+import json
+import struct
+
+import pytest
+
+from geomesa_spark.sources import export
+from geomesa_spark.sources.testdata import geo_events
+
+
+@pytest.fixture(scope="module")
+def geo(spark, sf_dir):
+    return geo_events(spark, sf_dir).where("event_id < 50").cache()
+
+
+def test_geojson_features_parse(geo):
+    rows = export.to_geojson_features(geo).select("feature").collect()
+    assert len(rows) > 0
+    for r in rows[:5]:
+        f = json.loads(r.feature)
+        assert f["type"] == "Feature"
+        assert f["geometry"]["type"] == "Point"
+        lon, lat = f["geometry"]["coordinates"]
+        assert -180 <= lon <= 180 and -90 <= lat <= 90
+        assert "event_type" in f["properties"]
+
+
+def test_write_geojson_collections(geo, tmp_path):
+    path = str(tmp_path / "gj")
+    export.write_geojson(geo.coalesce(2), path)
+    import glob
+    parts = sorted(glob.glob(path + "/part-*"))
+    assert parts
+    total = 0
+    for p in parts:
+        with open(p) as fh:
+            doc = json.loads(fh.read())
+        assert doc["type"] == "FeatureCollection"
+        total += len(doc["features"])
+    assert total == geo.count()
+
+
+def test_gml_fragments_well_formed(geo, tmp_path):
+    import xml.etree.ElementTree as ET
+    path = str(tmp_path / "out.gml")
+    export.write_gml(geo, path)
+    tree = ET.parse(path)  # raises on malformed XML
+    ns = {"gml": "http://www.opengis.net/gml/3.2"}
+    members = tree.getroot().findall("gml:featureMember", ns)
+    assert len(members) == geo.count()
+    pos = members[0].find(".//gml:pos", ns).text
+    lat, lon = map(float, pos.split())
+    assert -90 <= lat <= 90 and -180 <= lon <= 180
+
+
+def test_leaflet_page(geo, tmp_path):
+    path = str(tmp_path / "map.html")
+    export.write_leaflet(geo, path, max_features=10)
+    html = open(path).read()
+    assert "L.geoJSON" in html
+    start = html.index('{"type":"FeatureCollection"')
+    end = html.index(";\nvar layer")
+    doc = json.loads(html[start:end])
+    assert len(doc["features"]) == 10
+
+
+def test_shapefile_binary_structure(geo, tmp_path):
+    base = str(tmp_path / "layer")
+    export.write_shapefile(geo.select("event_id", "event_type", "lon", "lat"),
+                           base)
+    n = geo.count()
+    shp = open(base + ".shp", "rb").read()
+    assert struct.unpack(">i", shp[:4])[0] == 9994          # magic
+    assert struct.unpack("<i", shp[28:32])[0] == 1000       # version
+    assert struct.unpack("<i", shp[32:36])[0] == 1          # point type
+    # declared length (16-bit words) matches the file
+    assert struct.unpack(">i", shp[24:28])[0] * 2 == len(shp)
+    # first record: shape type 1 + lon/lat doubles
+    t, x, y = struct.unpack("<idd", shp[108:128])
+    assert t == 1 and -180 <= x <= 180 and -90 <= y <= 90
+    shx = open(base + ".shx", "rb").read()
+    assert len(shx) == 100 + n * 8
+    dbf = open(base + ".dbf", "rb").read()
+    n_rec = struct.unpack("<I", dbf[4:8])[0]
+    assert n_rec == n
+    assert dbf[0] == 3 and dbf[-1] == 0x1A

@@ -63,3 +63,79 @@ def test_mercator_round_trip(spark, sf_dir):
         | ((F.abs(F.col("lat") - F.col("lat0")) > 1e-9)
            & (F.abs("lat0") < crs.MAX_LAT))).count()
     assert bad == 0
+
+
+JSONL = """\
+{"name": "alpha", "dtg": "2024-01-01T00:00:00", "geom": {"type": "Point", "coordinates": [10.0, 20.0]}, "count": 3, "props": {"k": 1, "tag": "x"}}
+{"name": "beta", "dtg": "2024-01-02T12:30:00", "geom": {"type": "Point", "coordinates": [-40.0, 5.0]}, "count": 7, "props": {"k": 2, "tag": "y"}}
+{"name": "gamma", "dtg": "2024-01-03T06:15:00", "geom": {"type": "Point", "coordinates": [120.0, -33.0]}, "count": 1, "props": {"k": 3, "tag": "z"}}
+"""
+
+
+def test_infer_json_geojson_and_nested(spark, tmp_path):
+    from geomesa_spark.sources.ingest import infer_json
+    p = tmp_path / "feats.jsonl"
+    p.write_text(JSONL)
+    df, spec = infer_json(spark, str(p))
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["dtg"] == "timestamp"
+    assert schema["count"] == "bigint"
+    assert schema["geom"] == "string"
+    assert schema["props.k"] == "bigint"
+    assert schema["props.tag"] == "string"
+    assert "*geom:Point:srid=4326" in spec
+    assert "props.k:Long" in spec and "props.tag:String" in spec
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alpha"]["geom"] == "POINT (10 20)"
+    assert rows["gamma"]["geom"] == "POINT (120 -33)"
+
+
+def test_infer_json_wkt_strings(spark, tmp_path):
+    from geomesa_spark.sources.ingest import infer_json
+    p = tmp_path / "wkt.jsonl"
+    p.write_text('{"g": "POINT (1 2)"}\n{"g": "POINT (3 4)"}\n')
+    df, spec = infer_json(spark, str(p))
+    assert spec == "*g:Point:srid=4326"
+
+
+def test_utm_forward_known_points(spark):
+    """UTM zone 31N anchors: the central meridian maps to E=500000, the
+    equator to N=0, and N at 45 deg equals k0 * meridian arc length."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        {"lon": [3.0, 3.0, 3.0], "lat": [0.0, 45.0, -0.0]}))
+    e, n = crs.utm_exprs(F.col("lon"), F.col("lat"), 31)
+    rows = df.select(e.alias("e"), n.alias("n")).collect()
+    assert abs(rows[0].e - 500_000.0) < 1e-6
+    assert abs(rows[0].n - 0.0) < 1e-6
+    # meridian arc 0->45deg on WGS84 is 4984944.378 m
+    assert abs(rows[1].n - 0.9996 * 4_984_944.378) < 2.0
+    assert abs(rows[1].e - 500_000.0) < 1e-6
+
+
+def test_utm_round_trip(spark):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(4)
+    lon = rng.uniform(0.5, 5.5, 200)   # zone 31 band (plus margin)
+    lat = rng.uniform(-79, 83, 200)
+    df = spark.createDataFrame(pd.DataFrame({"x": lon, "y": lat}))
+    utm = crs.reproject(df, "EPSG:4326", "EPSG:32631",
+                        out_x="e", out_y="n")
+    back = crs.reproject(utm.select(F.col("e").alias("x"),
+                                    F.col("n").alias("y"),
+                                    F.col("x").alias("lon0"),
+                                    F.col("y").alias("lat0")),
+                         32631, 4326, out_x="lon1", out_y="lat1")
+    bad = back.where("abs(lon1 - lon0) > 1e-8 OR abs(lat1 - lat0) > 1e-8")
+    assert bad.count() == 0
+
+
+def test_utm_south_and_dispatch(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({"x": [174.0], "y": [-41.0]}))
+    # Wellington NZ ~ zone 60S
+    out = crs.reproject(df, 4326, 32760, out_x="e", out_y="n").collect()[0]
+    assert 0 < out.e < 1_000_000 and 0 < out.n < 10_000_000
+    with pytest.raises(ValueError):
+        crs.reproject(df, 4326, 2154)  # Lambert93: not supported, loud
