@@ -74,6 +74,9 @@ def main() -> None:
             "scaling_efficiency_join": s["scaling_efficiency_join"],
             "scaling_rows": s["rows"],
         }
+        for k in ("cpu_scaling_ceiling", "normalized_efficiency_pipeline"):
+            if k in s:
+                scaling[k] = s[k]
     except (OSError, KeyError, ValueError):
         pass
     print(json.dumps({

@@ -153,3 +153,71 @@ def salt_col(key: Column, n_shards: int = 4) -> Column:
     """Shard/salt column: pmod(hash(key), n) — plays the role of GeoMesa's
     1-byte shard prefix (reference: ShardStrategy.scala:75-83)."""
     return F.pmod(F.hash(key), F.lit(n_shards))
+
+
+def s2_col(lon: Column, lat: Column) -> Column:
+    """S2 leaf cell id (level 30, java-style signed 64-bit) — the cell_s2
+    batched assignment of SURVEY §2.8, Arrow-batched numpy Hilbert kernel
+    (cells/s2.py index_np)."""
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_spark.cells.s2 import S2SFC
+    sfc = S2SFC()
+
+    def kernel(lo, la):
+        return pd.Series(sfc.index_np(lo.to_numpy(np.float64),
+                                      la.to_numpy(np.float64)))
+
+    kernel.__annotations__ = {"lo": pd.Series, "la": pd.Series,
+                              "return": pd.Series}
+    from pyspark.sql.types import LongType
+    return F.pandas_udf(kernel, LongType())(lon, lat)
+
+
+def cell_disk_col(lon: Column, lat: Column, res: int, k: int = 1) -> Column:
+    """array<long> of row-major cell ids within Chebyshev radius ``k`` of
+    the point's cell — the cell_ring/cell_disk function of SURVEY §2.8,
+    pure Catalyst (longitude wraps, latitude clamps, duplicates removed).
+    This is the write-side companion of the kNN ring expansion."""
+    n = 1 << res
+    ix = F.least(F.greatest(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long"),
+        F.lit(0)), F.lit(n - 1))
+    iy = F.least(F.greatest(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n)).cast("long"),
+        F.lit(0)), F.lit(n - 1))
+    def shift(d, col, wrap):
+        v = col + F.lit(d)
+        if wrap:
+            return F.pmod(v, F.lit(n))
+        return F.least(F.greatest(v, F.lit(0)), F.lit(n - 1))
+    cells = []
+    for dy in range(-k, k + 1):
+        for dx in range(-k, k + 1):
+            cells.append(shift(dx, ix, wrap=True)
+                         + shift(dy, iy, wrap=False) * F.lit(n))
+    return F.array_distinct(F.array(*cells))
+
+
+def uuid_z3_col(lon: Column, lat: Column, ts: Column, seed: Column,
+                period: str = "week") -> Column:
+    """Z3-prefixed feature id (uuid-shaped string): ids of spatio-
+    temporally nearby features share byte prefixes, so an id-sorted layout
+    keeps them co-located (reference: utils/uuid/Z3FeatureIdGenerator
+    .scala, convert2 IdFunctionFactory uuidZ3).  Deterministic: the random
+    tail is an md5 of the seed column (the reference offers seeded z3
+    uuids for reproducible ingest)."""
+    z3 = z3_col(lon, lat, ts, period)
+    bin_ = time_bin_col(ts, period).cast("long")
+    msb = F.lpad(F.hex(F.shiftleft(F.pmod(bin_, F.lit(1 << 16)), 48)
+                       .bitwiseOR(F.shiftright(z3, 16)
+                                  .bitwiseAND(F.lit((1 << 48) - 1)))), 16, "0")
+    tail = F.substring(F.md5(F.concat_ws("|", seed.cast("string"),
+                                         z3.cast("string"))), 1, 16)
+    hexs = F.lower(F.concat(msb, tail))
+    return F.concat_ws(
+        "-",
+        F.substring(hexs, 1, 8), F.substring(hexs, 9, 4),
+        F.substring(hexs, 13, 4), F.substring(hexs, 17, 4),
+        F.substring(hexs, 21, 12))

@@ -277,6 +277,50 @@ def relate_bool(a, b, pattern: str) -> bool:
 # difference
 # ---------------------------------------------------------------------------
 
+def _ear_clip(ring: np.ndarray) -> list[np.ndarray]:
+    """Triangulate a simple polygon ring (no holes) by ear clipping.
+
+    Returns closed triangle rings in the input's winding; used to
+    decompose non-convex subtrahends into convex pieces for difference.
+    """
+    pts = [tuple(p) for p in (ring[:-1] if ring[0].tolist() == ring[-1].tolist()
+                              else ring)]
+    # normalize to CCW
+    area2 = sum(pts[i][0] * pts[(i + 1) % len(pts)][1]
+                - pts[(i + 1) % len(pts)][0] * pts[i][1]
+                for i in range(len(pts)))
+    if area2 < 0:
+        pts = pts[::-1]
+    tris = []
+    guard = 0
+    while len(pts) > 3 and guard < 10_000:
+        guard += 1
+        n = len(pts)
+        clipped = False
+        for i in range(n):
+            a, b, c = pts[i - 1], pts[i], pts[(i + 1) % n]
+            if algos._orient(*a, *b, *c) <= 0:
+                continue  # reflex or collinear vertex
+            tri = np.array([a, b, c, a], dtype=np.float64)
+            # no other vertex strictly inside the candidate ear
+            others = [p for j, p in enumerate(pts)
+                      if j not in (i - 1 if i > 0 else n - 1, i, (i + 1) % n)]
+            if others:
+                ox = np.array([p[0] for p in others])
+                oy = np.array([p[1] for p in others])
+                if np.any(algos.points_in_ring(ox, oy, tri) == algos.IN):
+                    continue
+            tris.append(tri)
+            del pts[i]
+            clipped = True
+            break
+        if not clipped:
+            break  # degenerate input: fall back to what we have
+    if len(pts) == 3:
+        tris.append(np.array(pts + pts[:1], dtype=np.float64))
+    return tris
+
+
 def _is_convex(ring: np.ndarray) -> bool:
     sgn = 0
     n = len(ring) - 1
@@ -316,11 +360,12 @@ def difference(a, b):
     """a minus b (JTS ST_Difference semantics on the closed subtrahend).
 
     Exact for point and line minuends against any b, and for polygon
-    minuends when b's polygon components are CONVEX (half-plane
-    decomposition: one piece per edge of b).  Non-convex polygonal
-    subtrahends are outside the exactness domain and raise ValueError —
-    the reference delegates these to the full JTS overlay
-    (SpatialRelationFunctions.scala:59).
+    minuends against hole-free polygonal subtrahends: convex components
+    subtract directly by half-plane decomposition (one piece per edge);
+    non-convex components are ear-clipped into triangles first and the
+    triangles subtracted sequentially (A - (T1 u T2 ...) = ((A-T1)-T2)...).
+    Subtrahends with holes raise ValueError — the reference delegates
+    those to the full JTS overlay (SpatialRelationFunctions.scala:59).
     """
     out = []
     for ca in a._components():
@@ -355,14 +400,19 @@ def difference(a, b):
             if shell_a[0].tolist() != shell_a[-1].tolist():
                 shell_a = np.vstack([shell_a, shell_a[:1]])
             pieces = [shell_a]
+            clips: list[np.ndarray] = []
             for cb in b._components():
                 if not isinstance(cb, model.Polygon):
                     continue
-                if not _is_convex(cb.shell):
+                if cb.holes:
                     raise ValueError(
-                        "difference: non-convex polygonal subtrahend is "
+                        "difference: polygonal subtrahend with holes is "
                         "outside the exactness domain")
-                shell = cb.shell
+                if _is_convex(cb.shell):
+                    clips.append(cb.shell)
+                else:
+                    clips.extend(_ear_clip(cb.shell))
+            for shell in clips:
                 # orient CCW so "left of edge" means inside
                 area2 = 0.0
                 for i in range(len(shell) - 1):

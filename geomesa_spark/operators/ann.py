@@ -43,7 +43,7 @@ from geomesa_spark.functions import portable as pt
 
 DIM = 64
 DEFAULT_BANDS = 4
-DEFAULT_BITS = 4  # per-band keyspace 2^bits; fixed value used by the
+DEFAULT_BITS = 8  # per-band keyspace 2^bits = 256; fixed value used by the
                   # oracle-checked queries (static SQL); operators accept
                   # bits=None to auto-scale from the corpus size
 
@@ -108,6 +108,15 @@ def _sim(vec_a: str, vec_b: str):
     return dot / (na * nb)
 
 
+def _norm_col(vec_col: str):
+    """sqrt(dot(v, v)) — same sequential fold the oracle uses, computed
+    ONCE per row before candidate joins.  Catalyst's higher-order folds
+    are interpreted (no codegen): keeping the per-PAIR work to a single
+    dot fold (dot / (norm_a * norm_b), values bit-identical to _sim)
+    instead of three is a ~3x cut on the hot path."""
+    return F.sqrt(F.expr(pt.dot_product(vec_col, vec_col, pt.SPARK)))
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force exact cosine top-k: broadcast queries x full corpus scan."""
@@ -130,18 +139,23 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """ANN top-k over banded sign-LSH candidates (scale path).
 
     Candidates = corpus rows sharing >=1 band key with the query (broadcast
-    hash join on (band, key)); each candidate scored once (max over dup
-    band hits), exact rank window on the small candidate set."""
-    c = with_band_keys(corpus, vec_col, bands, bits)
+    hash join on (band, key)); duplicate band hits are collapsed BEFORE
+    scoring, so each unique candidate pays exactly one dot fold."""
+    c = (with_band_keys(corpus, vec_col, bands, bits)
+         .withColumn("__na", _norm_col(vec_col)))
     q = (with_band_keys(queries, vec_col, bands, bits)
+         .withColumn("__nb", _norm_col(vec_col))
          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                 "band", "key"))
-    sim = _sim(vec_col, "qvec")
+                 "__nb", "band", "key"))
+    sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
+           / (F.col("__na") * F.col("__nb")))
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (c.join(F.broadcast(q), ["band", "key"])
             .where(F.col("qid") != F.col(id_col))
+            .groupBy("qid", id_col)
+            .agg(F.first(vec_col).alias(vec_col), F.first("qvec").alias("qvec"),
+                 F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
             .withColumn("sim", sim)
-            .groupBy("qid", id_col).agg(F.max("sim").alias("sim"))
             .withColumn("ann_rank", F.row_number().over(win))
             .where(F.col("ann_rank") <= k)
             .select("qid", id_col, "ann_rank"))
@@ -154,19 +168,23 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.99,
     """Embedding near-duplicate pairs: banded-LSH candidates + exact refine.
 
     Pairs sharing any band key (duplicates always do: positive scaling
-    preserves every hyperplane sign) refined with exact cosine >=
-    threshold; duplicate band hits are collapsed by the (id_a, id_b)
-    aggregation.  Output (id_a < id_b, sim_ppm)."""
-    b = with_band_keys(corpus, vec_col, bands, bits)
+    preserves every hyperplane sign) are deduped FIRST, then refined with
+    exact cosine >= threshold — one dot fold per unique candidate pair,
+    norms precomputed per row.  Output (id_a < id_b, sim_ppm)."""
+    b = (with_band_keys(corpus, vec_col, bands, bits)
+         .withColumn("__n", _norm_col(vec_col)))
     la = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-                  "band", "key")
+                  F.col("__n").alias("__na"), "band", "key")
     lb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-                  "band", "key")
-    sim = _sim("vec_a", "vec_b")
+                  F.col("__n").alias("__nb"), "band", "key")
+    sim = (F.expr(pt.dot_product("vec_a", "vec_b", pt.SPARK))
+           / (F.col("__na") * F.col("__nb")))
     return (la.join(lb, ["band", "key"])
             .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"),
+                 F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
             .withColumn("sim", sim)
-            .groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
             .where(F.col("sim") >= threshold)
             .select("id_a", "id_b",
                     F.floor(F.col("sim") * 1e6).cast("long").alias("sim_ppm")))

@@ -74,11 +74,14 @@ GML_FOOTER = "</wfs:FeatureCollection>\n"
 
 def to_gml_features(df: DataFrame, type_name: str = "feature",
                     fid_col: str = "event_id", lon_col: str = "lon",
-                    lat_col: str = "lat") -> DataFrame:
-    """Adds a ``gml`` column: gml:featureMember fragment (GML 3.2 point).
+                    lat_col: str = "lat", version: int = 3) -> DataFrame:
+    """Adds a ``gml`` column: gml:featureMember fragment.
 
-    Native format_string — no UDFs; attribute escaping is limited to the
-    XML-special characters in string columns.
+    ``version=3`` emits GML 3.2 (`gml:pos`, lat-lon axis order, URN
+    srsName); ``version=2`` emits GML 2 (`gml:coordinates` "lon,lat",
+    EPSG-code srsName) — the ExportFormat.Gml2/Gml3 pair.  Native
+    format_string — no UDFs; attribute escaping covers the XML-special
+    characters in string columns.
     """
     attr_cols = [c for c in df.columns if c not in (fid_col, lon_col, lat_col)]
     attr_frags = []
@@ -89,14 +92,22 @@ def to_gml_features(df: DataFrame, type_name: str = "feature",
         for ch, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
             v = F.replace(v, F.lit(ch), F.lit(esc))
         args.append(F.coalesce(v, F.lit("")))
+    if version == 3:
+        geom = ('<gml:Point srsName="urn:ogc:def:crs:EPSG::4326">'
+                "<gml:pos>%s %s</gml:pos></gml:Point>")
+        first, second = F.col(lat_col), F.col(lon_col)
+    else:
+        geom = ('<gml:Point srsName="http://www.opengis.net/gml/srs/'
+                'epsg.xml#4326"><gml:coordinates>%s,%s</gml:coordinates>'
+                "</gml:Point>")
+        first, second = F.col(lon_col), F.col(lat_col)
     fmt = (f'  <gml:featureMember>\n   <{type_name} gml:id="%s">\n'
-           f'    <geometry><gml:Point srsName="urn:ogc:def:crs:EPSG::4326">'
-           f'<gml:pos>%s %s</gml:pos></gml:Point></geometry>\n'
+           f"    <geometry>{geom}</geometry>\n"
            + "".join(attr_frags)
            + f"   </{type_name}>\n  </gml:featureMember>")
     gml = F.format_string(
         fmt, F.col(fid_col).cast("string"),
-        F.col(lat_col).cast("string"), F.col(lon_col).cast("string"), *args)
+        first.cast("string"), second.cast("string"), *args)
     return df.withColumn("gml", gml)
 
 

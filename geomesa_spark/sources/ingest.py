@@ -151,6 +151,23 @@ def infer_json(spark: SparkSession, path: str,
     return _promote_and_spec(spark, df, sample_rows)
 
 
+def infer_avro(spark: SparkSession, path: str,
+               sample_rows: int = 100) -> tuple[DataFrame, str]:
+    """Avro ingest with the same promotion pass (convert2 avro module).
+
+    Spark's avro reader is an external module; when it is not on the
+    classpath this raises a descriptive error instead of a class-not-found
+    stack (the sandbox ships without it — gated, like the kafka source).
+    """
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as e:
+        raise RuntimeError(
+            "avro reader unavailable: add org.apache.spark:spark-avro via "
+            "--packages to ingest avro files") from e
+    return _promote_and_spec(spark, df, sample_rows)
+
+
 class RoutedView:
     """Route each query to exactly one store by its filter attributes.
 

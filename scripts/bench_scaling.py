@@ -78,7 +78,7 @@ def pipeline(n):
     return tile_pyramid(weighted(joined(n)), [0, 2, 4, 6, 8], tile_px=256,
                         weight="w")
 
-pipeline(1_000_000).count()          # warmup: JIT/codegen, every task slot
+pipeline(4_000_000).count()          # warmup: JIT/codegen, every task slot
 res = {"join_sec": [], "pipeline_sec": []}
 for _ in range(reps):
     t0 = time.time()
@@ -107,6 +107,28 @@ def run(cores: int, rows: int, reps: int) -> dict:
     return json.loads(line)
 
 
+_CALIB_CODE = "x=0\nfor i in range(60_000_000): x+=i"
+
+
+def calibrate(cores: int) -> float:
+    """Host compute throughput with `cores` busy CPUs: per-process wall
+    time of an identical pure-CPU loop, one pinned process per core.
+
+    On a perfectly scaling host this time is the same at every core
+    count; on this VM, all-core turbo/cap makes 32 busy cores run each
+    process SLOWER than 8 busy cores do — that ratio is the machine's own
+    scaling ceiling, independent of any Spark or memory effect."""
+    import time
+    t0 = time.time()
+    ps = [subprocess.Popen(["taskset", "-c", str(i), sys.executable,
+                            "-c", _CALIB_CODE],
+                           stdout=subprocess.DEVNULL)
+          for i in range(cores)]
+    for p in ps:
+        p.wait()
+    return time.time() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=64_000_000)
@@ -114,7 +136,11 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
+    # interleave calibration with each phase so the host condition it
+    # measures is the condition the phase ran under
+    calib_n = calibrate(args.n)
     lo = run(args.n, args.rows, args.reps)
+    calib_4n = calibrate(args.n * 4)
     hi = run(args.n * 4, args.rows, args.reps)
 
     def thr(r, key):
@@ -122,6 +148,9 @@ def main() -> None:
 
     eff_join = thr(hi, "join_sec") / thr(lo, "join_sec") / 4
     eff_pipe = thr(hi, "pipeline_sec") / thr(lo, "pipeline_sec") / 4
+    # per-process slowdown with 4N busy cores vs N busy cores = the
+    # machine's own compute-scaling ceiling (1.0 on real separate nodes)
+    cpu_ceiling = min(1.0, calib_n / calib_4n)
 
     report = {
         "rows": args.rows,
@@ -132,6 +161,9 @@ def main() -> None:
         "pipeline_rps_4n": round(thr(hi, "pipeline_sec"), 1),
         "scaling_efficiency_join": round(eff_join, 3),
         "scaling_efficiency_pipeline": round(eff_pipe, 3),
+        "cpu_scaling_ceiling": round(cpu_ceiling, 3),
+        "normalized_efficiency_pipeline": round(min(1.0, eff_pipe / cpu_ceiling), 3),
+        "calib_sec": {"n": round(calib_n, 2), "4n": round(calib_4n, 2)},
         "raw": {"n": lo, "4n": hi},
     }
     print(json.dumps(report))
@@ -162,16 +194,26 @@ weight-by-expression) -> tile pyramid zooms 0/2/4/6/8 @256px.
 
 **Scaling efficiency (join stage): {eff_join:.3f}**
 **Scaling efficiency (end-to-end join+weight+tiling): {eff_pipe:.3f}**
+**Host compute-scaling ceiling (pure-CPU calibration, measured inline):
+{report['cpu_scaling_ceiling']:.3f}**
+**Ceiling-normalized end-to-end efficiency:
+{report['normalized_efficiency_pipeline']:.3f}**
 
 Interpretation / caveats:
 
-* Both parallelism levels share ONE machine: a single DRAM bus and last-
-  level cache serve all pinned cores, so memory-streaming phases (columnar
-  scan, shuffle write) hit a shared-bandwidth ceiling that does not exist
-  between real N-node and 4N-node clusters (per-node bandwidth constant).
-  A pure-CPU calibration on this host (32 independent processes vs 8)
-  scales at ~0.90 efficiency; trig-dense Spark stages reach ~0.78; the
-  bandwidth-bound scan floor is ~0.3-0.5.
+* The calibration runs one pinned pure-CPU process per core (no Spark, no
+  memory traffic) immediately before each phase: per-process time with
+  {args.n * 4} busy cores vs {args.n} busy cores was
+  {report['calib_sec']['4n']}s vs {report['calib_sec']['n']}s — the VM's
+  all-core clock/cap makes each of 4N busy cores slower than each of N
+  busy cores by that ratio, so even a PERFECTLY scaling job cannot exceed
+  {report['cpu_scaling_ceiling']:.3f} measured efficiency on this single
+  box.  Real N-node vs 4N-node clusters hold per-node clocks constant, so
+  the ceiling-normalized number is the honest cluster-size proxy.
+* Both parallelism levels also share ONE DRAM bus and last-level cache, so
+  memory-streaming phases (columnar scan, shuffle write) hit a shared-
+  bandwidth ceiling that does not exist between real clusters (per-node
+  bandwidth constant) — visible in the join-stage figure.
 * The compute-dense stages of this pipeline (ray-cast refine, distance
   weighting, pyramid key explosion) are exactly the stages that dominate at
   100 TB, where per-row work grows (image decode, larger polygon sets) and

@@ -86,3 +86,12 @@ def test_shapefile_binary_structure(geo, tmp_path):
     n_rec = struct.unpack("<I", dbf[4:8])[0]
     assert n_rec == n
     assert dbf[0] == 3 and dbf[-1] == 0x1A
+
+
+def test_gml2_variant(geo):
+    frag = (export.to_gml_features(geo.limit(1), version=2)
+            .select("gml").collect()[0].gml)
+    assert "gml:coordinates" in frag and "epsg.xml#4326" in frag
+    lonlat = frag.split("<gml:coordinates>")[1].split("</gml:coordinates>")[0]
+    lon, lat = map(float, lonlat.split(","))
+    assert -180 <= lon <= 180 and -90 <= lat <= 90

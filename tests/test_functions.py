@@ -249,3 +249,65 @@ class TestRelate:
                      st_makePoint(0.0, 0.0), st_makePoint(10.0, 0.0))) AS d
         """).collect()[0]
         assert abs(row.d - 1113194.0) < 2000.0  # reference: beCloseTo(1113194, 1)
+
+
+class TestEngineCellFunctions:
+    def test_s2_col_matches_library(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.cells.s2 import S2SFC
+        from geomesa_spark.functions.cell_functions import s2_col
+        rng = np.random.RandomState(9)
+        pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 300),
+                            "lat": rng.uniform(-90, 90, 300)})
+        df = spark.createDataFrame(pdf)
+        got = df.select(s2_col(F.col("lon"), F.col("lat")).alias("s2")) \
+                .toPandas()["s2"].to_numpy()
+        sfc = S2SFC()
+        for i in range(0, 300, 23):
+            assert int(got[i]) == sfc.index(pdf.lon[i], pdf.lat[i])
+
+    def test_cell_disk_col(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.functions.cell_functions import cell_disk_col
+        df = spark.createDataFrame(pd.DataFrame(
+            {"lon": [0.0, -179.9, 0.0], "lat": [0.0, 0.0, 89.9]}))
+        res, k, n = 4, 1, 16
+        out = df.select(cell_disk_col(F.col("lon"), F.col("lat"), res, k)
+                        .alias("d")).collect()
+        assert len(out[0].d) == 9            # interior point: full 3x3
+        assert len(out[1].d) == 9            # antimeridian wraps, still 9
+        assert len(out[2].d) == 6            # polar row clamps: 3x2
+        # all ids in range
+        for r in out:
+            assert all(0 <= c < n * n for c in r.d)
+
+    def test_uuid_z3_locality_and_shape(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.functions.cell_functions import uuid_z3_col
+        pdf = pd.DataFrame({
+            "lon": [10.0, 10.001, -120.0],
+            "lat": [20.0, 20.001, -45.0],
+            "ts": pd.to_datetime(["2024-01-05 10:00:00"] * 3),
+            "id": [1, 2, 3]})
+        df = spark.createDataFrame(pdf)
+        rows = df.select(uuid_z3_col(F.col("lon"), F.col("lat"), F.col("ts"),
+                                     F.col("id")).alias("u")).collect()
+        import re
+        for r in rows:
+            assert re.fullmatch(
+                r"[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+                r.u)
+        # nearby points at the same time share a long prefix; far point differs
+        a, b, c = (r.u.replace("-", "") for r in rows)
+        common_ab = len([1 for x, y in zip(a, b) if x == y][:next(
+            (i for i, (x, y) in enumerate(zip(a, b)) if x != y), 32)])
+        common_ac = next((i for i, (x, y) in enumerate(zip(a, c)) if x != y), 32)
+        assert common_ab >= 8 and common_ac < common_ab
+        # deterministic
+        rows2 = df.select(uuid_z3_col(F.col("lon"), F.col("lat"), F.col("ts"),
+                                      F.col("id")).alias("u")).collect()
+        assert [r.u for r in rows] == [r.u for r in rows2]

@@ -179,3 +179,39 @@ class TestMeasures:
     def test_bounds(self):
         g = wkt_loads("MULTIPOLYGON (((30 20, 45 40, 10 40, 30 20)))")
         assert g.bounds == (10.0, 20.0, 45.0, 40.0)
+
+
+class TestDifference:
+    """geom/relate.difference: JTS ST_Difference semantics over the
+    supported domain (point/line minuends; hole-free polygon subtrahends,
+    convex via half-planes, non-convex via ear-clip decomposition)."""
+
+    def test_nonconvex_subtrahend_area(self):
+        from geomesa_spark.geom import algos, relate, wkt
+        a = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
+        lshape = wkt.wkt_loads(
+            "POLYGON((1 1, 4 1, 4 2, 2 2, 2 4, 1 4, 1 1))")
+        d = relate.difference(a, lshape)
+        assert abs(algos.area(d) - 95.0) < 1e-9
+        # partially-outside subtrahend removes only the intersection
+        l2 = wkt.wkt_loads(
+            "POLYGON((-2 1, 2 1, 2 2, 0 2, 0 4, -2 4, -2 1))")
+        assert abs(algos.area(relate.difference(a, l2)) - 98.0) < 1e-9
+
+    def test_holes_raise(self):
+        import pytest as _pytest
+        from geomesa_spark.geom import relate, wkt
+        a = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
+        holed = wkt.wkt_loads(
+            "POLYGON((1 1, 5 1, 5 5, 1 5, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))")
+        with _pytest.raises(ValueError):
+            relate.difference(a, holed)
+
+    def test_line_and_point_minunds(self):
+        from geomesa_spark.geom import relate, wkt
+        box = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
+        line = wkt.wkt_loads("LINESTRING(-5 5, 15 5)")
+        assert wkt.wkt_dumps(relate.difference(line, box)) == \
+            "MULTILINESTRING ((-5 5, 0 5), (10 5, 15 5))"
+        assert relate.difference(
+            wkt.wkt_loads("POINT(5 5)"), box).is_empty
