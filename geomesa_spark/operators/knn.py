@@ -151,11 +151,20 @@ def _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
                             cell_col(F.col(lon_col), F.col(lat_col), res)))
     q_cells = {qid: grid.cell_id(qlon, qlat, res) for qid, qlon, qlat in query_points}
     q_pos = {qid: (qlon, qlat) for qid, qlon, qlat in query_points}
+    qdf = spark.createDataFrame([(qid, x, y) for qid, (x, y) in q_pos.items()],
+                                "qid string, qlon double, qlat double")
+    dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
+    w = Window.partitionBy("qid").orderBy("dist_m")
 
-    # --- phase 1: expand disks until every query point has >= k candidates
+    # --- phase 1: expand disks until every query point has >= k candidates.
+    # ONE driver job per iteration returns per-qid (candidate count,
+    # provisional k-th distance) together — "count >= k" and "top-k is
+    # full" are the same fact, so the separate provisional/dk job of the
+    # two-phase formulation is folded into the expansion loop.
     radius = {qid: 1 for qid in q_cells}
     scanned: dict = {qid: set() for qid in q_cells}
     pending = set(q_cells)
+    dk: dict = {}
     for _ in range(max_iterations):
         grew = False
         for qid in pending:
@@ -164,65 +173,50 @@ def _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
                 grew = True
             scanned[qid].update(new_cells)
             radius[qid] *= 2
-        pend_cells = set().union(*(scanned[q] for q in pending))
-        counts = _cum_counts(spark, pruned_scan(pend_cells),
-                             {q: scanned[q] for q in pending})
-        pending = {qid for qid in pending
-                   if counts.get(qid, 0) < k and len(scanned[qid]) < n * n}
+        pend_rows = [(qid, c) for qid in pending for c in scanned[qid]]
+        pend_df = spark.createDataFrame(pend_rows, "qid string, __cell long")
+        stats = (pruned_scan({c for _, c in pend_rows})
+                 .join(F.broadcast(pend_df), "__cell")
+                 .join(F.broadcast(qdf), "qid")
+                 .withColumn("dist_m", dist)
+                 .withColumn("__rn", F.row_number().over(w))
+                 .groupBy("qid")
+                 .agg(F.count("*").alias("cnt"),
+                      F.max(F.when(F.col("__rn") <= k, F.col("dist_m")))
+                       .alias("dk"))
+                 .collect())
+        got = {r["qid"]: (r["cnt"], r["dk"]) for r in stats}
+        for qid in list(pending):
+            cnt, dkv = got.get(qid, (0, None))
+            if cnt >= k or len(scanned[qid]) >= n * n:
+                if dkv is not None:
+                    dk[qid] = dkv
+                pending.discard(qid)
         if not pending or not grew:
+            # out of expansion room: take whatever k-th distance exists
+            for qid in pending:
+                dkv = got.get(qid, (0, None))[1]
+                if dkv is not None:
+                    dk[qid] = dkv
             break
 
-    # --- phase 2: provisional top-k, then guarantee radius
+    # --- phase 2: hole exclusion — grow each scan set to fully contain the
+    # provisional d_k disk, then one exact top-k over the union
     all_rows = [(qid, c) for qid, cells in scanned.items() for c in cells]
-    cand_df = spark.createDataFrame(all_rows, "qid string, __cell long")
-    qdf = spark.createDataFrame([(qid, x, y) for qid, (x, y) in q_pos.items()],
-                                "qid string, qlon double, qlat double")
-    joined = (pruned_scan({c for _, c in all_rows})
-              .join(F.broadcast(cand_df), "__cell")
-              .join(F.broadcast(qdf), "qid"))
-    dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
-    w = Window.partitionBy("qid").orderBy("dist_m")
-    provisional = (joined.withColumn("dist_m", dist)
-                   .withColumn("knn_rank", F.row_number().over(w))
-                   .where(F.col("knn_rank") <= k))
-    dk = {r["qid"]: r["dk"] for r in
-          provisional.groupBy("qid").agg(F.max("dist_m").alias("dk")).collect()}
-
-    # hole exclusion: scan only cells needed for the d_k guarantee not yet seen
-    extra_rows = []
     for qid, d in dk.items():
         qlon, qlat = q_pos[qid]
         needed = set(cells_covering_radius(qlon, qlat, res, d * 1.0000001))
-        extra = needed - scanned[qid]
-        extra_rows.extend((qid, c) for c in extra)
+        all_rows.extend((qid, c) for c in needed - scanned[qid])
 
-    if extra_rows:
-        extra_df = spark.createDataFrame(extra_rows, "qid string, __cell long")
-        extra_joined = (pruned_scan({c for _, c in extra_rows})
-                        .join(F.broadcast(extra_df), "__cell")
-                        .join(F.broadcast(qdf), "qid"))
-        union = joined.unionByName(extra_joined)
-    else:
-        union = joined
-
-    final = (union.withColumn("dist_m", dist)
+    cand_df = spark.createDataFrame(all_rows, "qid string, __cell long")
+    final = (pruned_scan({c for _, c in all_rows})
+             .join(F.broadcast(cand_df), "__cell")
+             .join(F.broadcast(qdf), "qid")
+             .withColumn("dist_m", dist)
              .withColumn("knn_rank", F.row_number().over(w))
              .where(F.col("knn_rank") <= k)
              .drop("__cell", "qlon", "qlat"))
     return final
-
-
-def _cum_counts(spark, pts, scanned) -> dict:
-    rows = [(qid, c) for qid, cells in scanned.items() for c in cells]
-    if not rows:
-        return {}
-    df = spark.createDataFrame(rows, "qid string, __cell long")
-    counted = (pts.join(F.broadcast(df), "__cell").groupBy("qid")
-               .agg(F.count("*").alias("cnt")).collect())
-    out = {qid: 0 for qid in scanned}
-    for r in counted:
-        out[r["qid"]] = r["cnt"]
-    return out
 
 
 def _haversine_col(lon1, lat1, lon2, lat2):
