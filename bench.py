@@ -58,6 +58,9 @@ def main() -> None:
     queries = entry_mod.queries()
     q_times: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
+        # settle between queries: the Arrow-python-worker queries leave GC
+        # debt that would otherwise bleed into the NEXT query's timing
+        spark.sparkContext._jvm.System.gc()
         t1 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()

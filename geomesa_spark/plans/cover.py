@@ -45,6 +45,21 @@ def z2_range_predicate(z2_col: Column,
     return reduce(lambda a, b: a | b, preds)
 
 
+def s2_range_predicate(s2_col: Column,
+                       boxes: list[tuple[float, float, float, float]],
+                       max_cells: int = 16) -> Column:
+    """OR of BETWEENs on an S2 leaf-id column covering the boxes — the
+    S2IndexKeySpace.getRanges analog for an s2-sorted layout (each covering
+    cell is one contiguous id range; signed java-style ids stay ordered
+    within a face, see cells/s2.py).  Coarse by design: the exact lon/lat
+    re-check runs after the pruned scan."""
+    from geomesa_spark.cells.s2 import S2SFC
+    sfc = S2SFC(max_cells=max_cells)
+    ranges = sfc.ranges(list(boxes))
+    preds = [s2_col.between(r.lower, r.upper) for r in ranges]
+    return reduce(lambda a, b: a | b, preds)
+
+
 def bbox_cell_cover(xmin: float, ymin: float, xmax: float, ymax: float,
                     res: int) -> list[int]:
     return grid.cover_bbox(xmin, ymin, xmax, ymax, res)

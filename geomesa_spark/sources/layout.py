@@ -39,15 +39,23 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
                   lon_col: str = "lon", lat_col: str = "lat", ts_col: str = "ts",
                   id_col: str | None = None, n_salts: int = 0,
                   target_partitions: int | None = None,
-                  fmt: str = "parquet") -> None:
+                  fmt: str = "parquet", cell: str = "z2") -> None:
     """Write a spatio-temporally indexed table.
 
-    Adds ``z2`` (+ ``salt`` when requested), partitions directories by
-    ``time_bin`` and range-partitions/sorts files by z2 — cell-id range
+    Adds the cell-curve column (``z2`` native Morton, or ``s2`` leaf ids
+    via the Arrow-batched Hilbert kernel — the S2IndexKeySpace layout),
+    plus ``salt`` when requested; partitions directories by ``time_bin``
+    and range-partitions/sorts files by the cell key — cell-id range
     partitioning with salted skew handling per the north rule.
     """
     spark = df.sparkSession
-    out = df.withColumn("z2", z2_col(F.col(lon_col), F.col(lat_col)))
+    if cell == "z2":
+        out = df.withColumn("z2", z2_col(F.col(lon_col), F.col(lat_col)))
+    elif cell == "s2":
+        from geomesa_spark.functions.cell_functions import s2_col
+        out = df.withColumn("s2", s2_col(F.col(lon_col), F.col(lat_col)))
+    else:
+        raise ValueError(f"unknown cell curve: {cell!r} (use 'z2' or 's2')")
     if ts_col in df.columns:
         out = out.withColumn("time_bin", time_bin_col(F.col(ts_col), period))
     else:
@@ -57,14 +65,14 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
         out = out.withColumn("salt", salt_col(key, n_salts))
 
     n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    range_cols = ["time_bin", "z2"] if ts_col in df.columns else ["z2"]
+    range_cols = ["time_bin", cell] if ts_col in df.columns else [cell]
     out = out.repartitionByRange(n, *[F.col(c) for c in range_cols]) \
              .sortWithinPartitions(*range_cols)
     out.write.mode("overwrite").partitionBy("time_bin").format(fmt).save(path)
 
     manifest = {
         "period": period, "lon_col": lon_col, "lat_col": lat_col,
-        "ts_col": ts_col, "n_salts": n_salts, "format": fmt,
+        "ts_col": ts_col, "n_salts": n_salts, "format": fmt, "cell": cell,
         "columns": df.columns,
     }
     _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))

@@ -139,3 +139,44 @@ class TestAttributeIndex:
         assert "PushedFilters" in plan
         tail = plan.split("PushedFilters")[1][:220]
         assert "GreaterThanOrEqual(value" in tail
+
+
+class TestS2Layout:
+    """S2-keyed layout: sorted s2 files + covering-range pruned reads."""
+
+    @pytest.fixture(scope="class")
+    def s2_path(self, spark, sf_dir, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("layout_s2") / "events_s2")
+        write_indexed(geo_events(spark, sf_dir), path, period="day",
+                      cell="s2")
+        return path
+
+    def test_manifest_and_columns(self, spark, s2_path):
+        m = read_manifest(spark, s2_path)
+        assert m["cell"] == "s2"
+        df = read_indexed(spark, s2_path)
+        assert "s2" in df.columns and "z2" not in df.columns
+
+    def test_s2_pruned_read_matches_bbox(self, spark, s2_path):
+        from geomesa_spark.plans.cover import s2_range_predicate
+        df = read_indexed(spark, s2_path)
+        bbox = (40.0, 20.0, 50.0, 30.0)
+        pre = s2_range_predicate(F.col("s2"), [bbox])
+        exact = (F.col("lon").between(bbox[0], bbox[2])
+                 & F.col("lat").between(bbox[1], bbox[3]))
+        got = df.where(pre).where(exact).count()
+        want = df.where(exact).count()
+        assert got == want and got > 0
+        # the range predicate reaches the parquet scan for file skipping
+        plan = df.where(pre)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "s2" in plan.split("PushedFilters")[1][:400]
+
+    def test_s2_sorted_within_files(self, spark, s2_path):
+        df = read_indexed(spark, s2_path).withColumn("f", F.input_file_name())
+        from pyspark.sql import Window
+        w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+        bad = (df.withColumn("prev", F.lag("s2").over(w))
+               .where(F.col("prev").isNotNull() & (F.col("s2") < F.col("prev")))
+               .count())
+        assert bad == 0
