@@ -477,9 +477,33 @@ WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
 """
 
 
+def q_xz2_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XZ2 index path for non-point footprints WITHOUT time: sequence-code
+    range prefilter + exact bbox-overlap refine
+    (index/z2/XZ2IndexKeySpace.scala analog; the purely-spatial sibling of
+    xz3_bbox_during)."""
+    from geomesa_spark.operators.footprints import xz2_bbox
+    fp = geo_events(spark, sf_dir).selectExpr(*FOOTPRINT_EXPRS)
+    out = xz2_bbox(fp, (40.0, 20.0, 50.0, 30.0))
+    return out.select("event_id")
+
+
+Q_XZ2_SQL = f"""
+{GEO}, f AS (
+  SELECT event_id, lon AS xmin, lat AS ymin,
+         lon + 0.1e0 + (event_id % 10) * 0.05e0 AS xmax,
+         lat + 0.1e0 + (event_id % 7) * 0.05e0 AS ymax
+  FROM geo
+)
+SELECT event_id FROM f
+WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
+"""
+
+
 PROCESS_QUERIES = {
     "st_relate": (q_st_relate, Q_ST_RELATE_SQL),
     "s2_index": (q_s2_index, Q_S2_INDEX_SQL),
+    "xz2_bbox": (q_xz2_bbox, Q_XZ2_SQL),
     "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
     "tube_select": (q_tube_select, Q_TUBE_SQL),
     "route_search": (q_route_search, Q_ROUTE_SQL),

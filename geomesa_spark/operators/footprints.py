@@ -59,6 +59,49 @@ def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
                                    offset_sec, F.col(xmax_col), F.col(ymax_col))))
 
 
+def with_xz2(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
+             ymax_col: str, g: int = DEFAULT_G) -> DataFrame:
+    """Adds the ``xz2`` sequence-code column for non-point footprints
+    WITHOUT a time dimension (index/z2/XZ2IndexKeySpace.scala) — one
+    Arrow-batched numpy kernel, the write-time sort key for purely
+    spatial footprint tables."""
+    from geomesa_spark.cells.xz2 import XZ2SFC
+    sfc = XZ2SFC(g)
+
+    def idx(xmin: pd.Series, ymin: pd.Series,
+            xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(sfc.index_np(
+            xmin.to_numpy(np.float64), ymin.to_numpy(np.float64),
+            xmax.to_numpy(np.float64), ymax.to_numpy(np.float64)))
+
+    udf = F.pandas_udf(idx, LongType())
+    return df.withColumn("xz2", udf(F.col(xmin_col), F.col(ymin_col),
+                                    F.col(xmax_col), F.col(ymax_col)))
+
+
+def xz2_query_predicate(bbox: tuple, g: int = DEFAULT_G,
+                        max_ranges: int = 24) -> Column:
+    """Coarse XZ2 range predicate for a bbox query
+    (XZ2IndexKeySpace.getRanges analog)."""
+    from geomesa_spark.cells.xz2 import XZ2SFC
+    sfc = XZ2SFC(g)
+    ranges = sfc.ranges([bbox], max_ranges=max_ranges)
+    return reduce(lambda a, c: a | c,
+                  [F.col("xz2").between(r.lower, r.upper) for r in ranges])
+
+
+def xz2_bbox(df: DataFrame, bbox: tuple, xmin_col: str = "xmin",
+             ymin_col: str = "ymin", xmax_col: str = "xmax",
+             ymax_col: str = "ymax", g: int = DEFAULT_G) -> DataFrame:
+    """Footprints intersecting ``bbox``: XZ2 prefilter + exact overlap
+    recheck (cover property golden-tested in test_cells.TestXZ2)."""
+    indexed = with_xz2(df, xmin_col, ymin_col, xmax_col, ymax_col, g=g)
+    qxmin, qymin, qxmax, qymax = bbox
+    exact = ((F.col(xmax_col) >= qxmin) & (F.col(xmin_col) <= qxmax)
+             & (F.col(ymax_col) >= qymin) & (F.col(ymin_col) <= qymax))
+    return indexed.where(xz2_query_predicate(bbox, g=g)).where(exact).drop("xz2")
+
+
 def xz3_query_predicate(bbox: tuple, interval_ms: tuple[int, int],
                         g: int = DEFAULT_G, period: str = "week",
                         max_ranges: int = 24) -> Column:

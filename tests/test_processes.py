@@ -132,3 +132,42 @@ def test_knn_scan_is_pruned_and_exact(spark, sf_dir, tmp_path):
     g = {(r.qid, r.event_id) for r in got.collect()}
     w = {(r.qid, r.event_id) for r in knn_brute_force(ev, qs, k=7).collect()}
     assert g == w and len(g) == 14
+
+
+def test_pip_smj_large_polygon_set(spark, geo):
+    """SMJ path probe at a polygon count far beyond broadcast-cover scale:
+    several hundred polygons (DataFrame side), salted join — results must
+    exactly match per-polygon bbox math computed independently."""
+    import numpy as np
+    from geomesa_spark.geom import model
+    from geomesa_spark.geom.wkb import wkb_dumps
+    from geomesa_spark.operators.pip_join import pip_join_smj
+
+    rng = np.random.RandomState(21)
+    polys = []
+    for i in range(400):
+        cx = rng.uniform(40, 50)
+        cy = rng.uniform(20, 30)
+        w = rng.uniform(0.2, 1.5)
+        h = rng.uniform(0.2, 1.5)
+        polys.append((f"p{i}", cx - w, cy - h, cx + w, cy + h))
+    poly_df = spark.createDataFrame(
+        [(pid, bytearray(wkb_dumps(model.box(x0, y0, x1, y1))))
+         for pid, x0, y0, x1, y1 in polys],
+        "poly_id string, geom binary")
+    got = (pip_join_smj(geo, poly_df, res=8)
+           .groupBy("poly_id").count().collect())
+    got_counts = {r.poly_id: r["count"] for r in got}
+
+    # independent truth: boundary-inclusive bbox membership per polygon
+    pts = geo.select("lon", "lat").toPandas()
+    x = pts["lon"].to_numpy(float)
+    y = pts["lat"].to_numpy(float)
+    for pid, x0, y0, x1, y1 in polys[::17]:  # spot-check a spread
+        want = int(((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)).sum())
+        assert got_counts.get(pid, 0) == want, pid
+    # every polygon with any point must appear
+    n_nonempty = sum(
+        1 for pid, x0, y0, x1, y1 in polys
+        if ((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)).any())
+    assert len(got_counts) == n_nonempty
