@@ -45,6 +45,9 @@ def main() -> None:
     warm = synthetic_images_geo(spark, 50_000)
     tile_pyramid(pip_join_broadcast(warm, PIP_POLYGONS, lon_col="lon",
                                     lat_col="lat"), [0, 2], tile_px=256).count()
+    # first from_json use pays several seconds of Jackson class loading +
+    # codegen — that is session warmup, not query throughput
+    spark.range(1).select(F.from_json(F.lit('{"k": 1}'), "k INT")).collect()
 
     imgs = synthetic_images_geo(spark, IMAGES_ROWS)
     t0 = time.time()
