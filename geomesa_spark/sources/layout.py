@@ -80,7 +80,58 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
 
 def read_indexed(spark: SparkSession, path: str) -> DataFrame:
     manifest = read_manifest(spark, path)
-    return spark.read.format(manifest.get("format", "parquet")).load(path)
+    reader = spark.read.format(manifest.get("format", "parquet"))
+    if manifest.get("schema_version", 1) > 1:
+        # evolved tables: merge file footers so rows written before a
+        # column existed surface it as NULL (Iceberg add-column semantics)
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)
+
+
+def append_indexed(df: DataFrame, path: str) -> None:
+    """Append rows to an existing indexed table, allowing NEW columns.
+
+    The engine analog of the reference's alterSchema + continued ingest
+    (GeoMesaDataStoreAlterSchemaTest / MetadataBackedStats schema update):
+    GeoMesa only permits ADDING attributes, never dropping or retyping —
+    enforced here the same way.  The manifest records the superset schema
+    and bumps ``schema_version`` so reads merge footers.
+    """
+    spark = df.sparkSession
+    manifest = read_manifest(spark, path)
+    old_cols = manifest["columns"]
+    missing = [c for c in old_cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"schema evolution is add-only: existing columns {missing} "
+            "are absent from the appended frame")
+    out = df.withColumn("z2" if manifest.get("cell", "z2") == "z2" else "s2",
+                        _cell_expr(manifest, df))
+    if manifest["ts_col"] in df.columns:
+        out = out.withColumn(
+            "time_bin", time_bin_col(F.col(manifest["ts_col"]),
+                                     manifest["period"]))
+    else:
+        out = out.withColumn("time_bin", F.lit(0))
+    if manifest.get("n_salts", 0) > 0:
+        out = out.withColumn("salt", salt_col(F.col(manifest["lon_col"]),
+                                              manifest["n_salts"]))
+    out = out.sortWithinPartitions(manifest.get("cell", "z2"))
+    out.write.mode("append").partitionBy("time_bin") \
+        .format(manifest.get("format", "parquet")).save(path)
+    new_cols = old_cols + [c for c in df.columns if c not in old_cols]
+    manifest["columns"] = new_cols
+    manifest["schema_version"] = manifest.get("schema_version", 1) + \
+        (1 if new_cols != old_cols else 0)
+    _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))
+
+
+def _cell_expr(manifest: dict, df: DataFrame):
+    lon, lat = F.col(manifest["lon_col"]), F.col(manifest["lat_col"])
+    if manifest.get("cell", "z2") == "s2":
+        from geomesa_spark.functions.cell_functions import s2_col
+        return s2_col(lon, lat)
+    return z2_col(lon, lat)
 
 
 def read_manifest(spark: SparkSession, path: str) -> dict:

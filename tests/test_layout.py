@@ -180,3 +180,39 @@ class TestS2Layout:
                .where(F.col("prev").isNotNull() & (F.col("s2") < F.col("prev")))
                .count())
         assert bad == 0
+
+
+class TestSchemaEvolution:
+    """Add-only schema evolution (GeoMesaDataStoreAlterSchemaTest analog):
+    appended batches may carry NEW columns; old rows surface them as NULL;
+    dropping existing columns is rejected."""
+
+    def test_append_with_new_column(self, spark, sf_dir, tmp_path):
+        from geomesa_spark.sources.layout import append_indexed
+        path = str(tmp_path / "evolving")
+        base = geo_events(spark, sf_dir).where("event_id < 500")
+        write_indexed(base, path, period="day")
+        batch2 = (geo_events(spark, sf_dir)
+                  .where("event_id >= 500 AND event_id < 900")
+                  .withColumn("quality", F.lit(0.9)))
+        append_indexed(batch2, path)
+        out = read_indexed(spark, path)
+        assert out.count() == base.count() + batch2.count()
+        assert "quality" in out.columns
+        # pre-evolution rows read as NULL for the new column
+        assert out.where("event_id < 500 AND quality IS NULL").count() \
+            == base.count()
+        assert out.where("event_id >= 500 AND quality = 0.9").count() \
+            == batch2.count()
+        m = read_manifest(spark, path)
+        assert "quality" in m["columns"] and m["schema_version"] == 2
+
+    def test_dropping_column_rejected(self, spark, sf_dir, tmp_path):
+        from geomesa_spark.sources.layout import append_indexed
+        path = str(tmp_path / "evolving2")
+        write_indexed(geo_events(spark, sf_dir).where("event_id < 100"),
+                      path, period="day")
+        bad = geo_events(spark, sf_dir).where("event_id >= 100") \
+            .drop("event_type")
+        with pytest.raises(ValueError, match="add-only"):
+            append_indexed(bad, path)
