@@ -231,3 +231,84 @@ def cosine_topk_arrow(corpus: DataFrame, queries_pd: pd.DataFrame, k: int = 5,
     return (scored.withColumn("ann_rank", F.row_number().over(win))
             .where(F.col("ann_rank") <= k)
             .select("qid", id_col, "ann_rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probe-limited scan
+# ---------------------------------------------------------------------------
+
+def ivf_index(corpus: DataFrame, nlist: int = 16,
+              vec_col: str = "embedding", seed: int = 7):
+    """Train the coarse quantizer and assign every vector to its nearest
+    centroid — the write-time half of an IVF index (FAISS IndexIVFFlat
+    design): ``list_id`` is the partition/cluster key, exactly the cell-id
+    role the spatial engine gives z2/s2.
+
+    Returns (assigned_df with ``list_id``, centroids as a list of numpy
+    arrays).  Training uses Spark ML's distributed k-means (JVM side);
+    assignment is model.transform — no Python in the scan path.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.withColumn(
+        "__features",
+        array_to_vector(F.expr(f"transform({vec_col}, v -> cast(v AS double))")))
+    model = KMeans(k=nlist, seed=seed, maxIter=10,
+                   featuresCol="__features", predictionCol="list_id") \
+        .fit(feats.select("__features"))
+    assigned = model.transform(feats).drop("__features")
+    centroids = [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 7,
+             assigned: DataFrame | None = None,
+             centroids=None) -> DataFrame:
+    """IVF ANN top-k: probe only each query's ``nprobe`` nearest inverted
+    lists, exact cosine + rank inside them.
+
+    ``queries_pd`` is a small pandas frame (qid, qvec list) — the probe
+    set per query is computed driver-side against the (tiny) centroid
+    table, then pushed as an IN-predicate on ``list_id``: on a
+    list_id-partitioned layout this prunes ~ (nlist-nprobe)/nlist of the
+    corpus before any distance work.  Recall is the standard IVF
+    tradeoff (nprobe=nlist degenerates to exact brute force).
+    """
+    import numpy as np
+    spark = corpus.sparkSession
+    if assigned is None or centroids is None:
+        assigned, centroids = ivf_index(corpus, nlist, vec_col, seed)
+    cmat = np.stack(centroids)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cunit = cmat / np.maximum(cnorm, 1e-12)
+
+    probe_rows = []
+    for _, row in queries_pd.iterrows():
+        qv = np.asarray(row["qvec"], dtype=np.float64)
+        qu = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = cunit @ qu
+        for lid in np.argsort(-sims)[:nprobe]:
+            probe_rows.append((row["qid"], int(lid)))
+    probes = spark.createDataFrame(probe_rows, "qid long, list_id int")
+
+    qdf = spark.createDataFrame(
+        [(row["qid"], list(map(float, row["qvec"])))
+         for _, row in queries_pd.iterrows()],
+        "qid long, qvec array<double>")
+    cand = (assigned
+            .join(F.broadcast(probes), "list_id")
+            .join(F.broadcast(qdf), "qid")
+            .where(F.col("qid") != F.col(id_col))
+            .withColumn("__na", _norm_col(vec_col))
+            .withColumn("__nb", F.sqrt(F.expr(pt.dot_product("qvec", "qvec",
+                                                             pt.SPARK))))
+            .withColumn("sim", F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
+                        / (F.col("__na") * F.col("__nb"))))
+    win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (cand.withColumn("ann_rank", F.row_number().over(win))
+            .where(F.col("ann_rank") <= k)
+            .select("qid", id_col, "ann_rank"))

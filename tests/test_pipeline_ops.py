@@ -153,3 +153,41 @@ def test_fingerprint_stable_for_dups(corpus):
           .withColumn("doc_id", F.col("doc_id") - docsrc.EXACT_OFF)
     assert a.alias("a").join(b.alias("b"), "doc_id") \
             .where("a.fp != b.fp").count() == 0
+
+
+def test_ivf_topk_recall_and_exact_degenerate(spark):
+    """IVF ANN: on clustered data, probing a few lists recovers most true
+    neighbors; probing ALL lists is exactly the brute-force result."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(13)
+    # 8 well-separated gaussian clusters in 64-d
+    centers = rng.normal(scale=10.0, size=(8, ann.DIM))
+    vecs = np.concatenate([c + rng.normal(scale=0.5, size=(150, ann.DIM))
+                           for c in centers])
+    n = len(vecs)
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(n), "embedding": [v.tolist() for v in vecs]}))
+    # qids ARE the corpus ids so self-exclusion works in every path
+    queries_pd = pd.DataFrame({
+        "qid": [i * 150 for i in range(5)],
+        "qvec": [vecs[i * 150].tolist() for i in range(5)]})
+
+    truth = {(r.qid, r.vec_id) for r in ann.cosine_topk(
+        corpus, spark.createDataFrame(pd.DataFrame({
+            "vec_id": queries_pd.qid,
+            "embedding": queries_pd.qvec})).withColumn(
+                "vec_id", F.col("vec_id").cast("long")), k=5).collect()}
+
+    assigned, centroids = ann.ivf_index(corpus, nlist=8)
+    got = {(r.qid, r.vec_id) for r in ann.ivf_topk(
+        corpus, queries_pd, k=5, nlist=8, nprobe=3,
+        assigned=assigned, centroids=centroids).collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95  # clusters are well separated
+
+    # nprobe = nlist degenerates to exact brute force
+    got_all = {(r.qid, r.vec_id) for r in ann.ivf_topk(
+        corpus, queries_pd, k=5, nlist=8, nprobe=8,
+        assigned=assigned, centroids=centroids).collect()}
+    assert got_all == truth
