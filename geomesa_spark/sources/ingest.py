@@ -168,6 +168,98 @@ def infer_avro(spark: SparkSession, path: str,
     return _promote_and_spec(spark, df, sample_rows)
 
 
+def infer_fixed_width(spark: SparkSession, path: str,
+                      widths: list[int], names: list[str] | None = None,
+                      sample_rows: int = 100) -> tuple[DataFrame, str]:
+    """Fixed-width text ingest (the converter DSL's fixed-width module):
+    columns are substring slices at the given widths, trimmed, then run
+    through the same type/geometry/timestamp promotion pass.  Slicing is
+    pure Catalyst (one substring per column on the raw line)."""
+    raw = spark.read.text(path)
+    cols = []
+    off = 1  # substring is 1-based
+    for i, w in enumerate(widths):
+        name = names[i] if names else f"c{i}"
+        cols.append(F.trim(F.substring("value", off, w)).alias(name))
+        off += w
+    df = raw.select(*cols)
+    # promote numerics the way inferSchema would (fixed-width is untyped)
+    sample = df.limit(sample_rows).collect()
+    for field in df.schema.fields:
+        vals = [r[field.name] for r in sample if r[field.name] not in (None, "")]
+        if vals and all(_is_number(v) for v in vals):
+            typ = "bigint" if all(_is_int(v) for v in vals) else "double"
+            df = df.withColumn(field.name, F.col(field.name).cast(typ))
+    return _promote_and_spec(spark, df, sample_rows)
+
+
+def _is_number(v: str) -> bool:
+    try:
+        float(v)
+        return True
+    except ValueError:
+        return False
+
+
+def _is_int(v: str) -> bool:
+    try:
+        int(v)
+        return True
+    except ValueError:
+        return False
+
+
+def read_shapefile(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read a point-layer ESRI shapefile trio written by
+    sources/export.write_shapefile (or any conforming point .shp/.dbf).
+
+    The shp record stream yields (lon, lat); the dbf supplies the
+    attribute columns.  Driver-side parse (shapefiles are bounded,
+    single-file artifacts — the reference's ShapefileDataStore reads them
+    the same way) into a distributed DataFrame.
+    """
+    import struct
+
+    with open(base_path + ".shp", "rb") as f:
+        shp = f.read()
+    if struct.unpack(">i", shp[:4])[0] != 9994:
+        raise ValueError("not a shapefile (bad magic)")
+    if struct.unpack("<i", shp[32:36])[0] != 1:
+        raise ValueError("only point-type (1) shapefiles are supported")
+    pts = []
+    off = 100
+    while off + 28 <= len(shp):
+        _num, length_words = struct.unpack(">ii", shp[off:off + 8])
+        t, x, y = struct.unpack("<idd", shp[off + 8:off + 28])
+        if t == 1:
+            pts.append((x, y))
+        off += 8 + length_words * 2
+
+    with open(base_path + ".dbf", "rb") as f:
+        dbf = f.read()
+    n_rec = struct.unpack("<I", dbf[4:8])[0]
+    header_len, rec_size = struct.unpack("<HH", dbf[8:12])
+    fields = []
+    pos = 32
+    while dbf[pos] != 0x0D:
+        name = dbf[pos:pos + 11].split(b"\x00")[0].decode("ascii")
+        width = dbf[pos + 16]
+        fields.append((name, width))
+        pos += 32
+    rows = []
+    for i in range(n_rec):
+        rec = dbf[header_len + i * rec_size:header_len + (i + 1) * rec_size]
+        vals, p = [], 1  # skip the deletion flag byte
+        for name, width in fields:
+            vals.append(rec[p:p + width].decode("utf-8", "replace").strip())
+            p += width
+        lon, lat = pts[i] if i < len(pts) else (None, None)
+        rows.append((*vals, lon, lat))
+    schema = ", ".join(f"`{n}` string" for n, _ in fields) \
+        + ", lon double, lat double"
+    return spark.createDataFrame(rows, schema)
+
+
 class RoutedView:
     """Route each query to exactly one store by its filter attributes.
 

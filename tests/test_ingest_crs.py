@@ -139,3 +139,35 @@ def test_utm_south_and_dispatch(spark):
     assert 0 < out.e < 1_000_000 and 0 < out.n < 10_000_000
     with pytest.raises(ValueError):
         crs.reproject(df, 4326, 2154)  # Lambert93: not supported, loud
+
+
+def test_infer_fixed_width(spark, tmp_path):
+    from geomesa_spark.sources.ingest import infer_fixed_width
+    p = tmp_path / "fixed.txt"
+    p.write_text(
+        "alpha     2024-01-01T00:00:00   3 1.5\n"
+        "beta      2024-01-02T12:30:00   72.25\n")
+    df, spec = infer_fixed_width(spark, str(p), widths=[10, 20, 3, 4],
+                                 names=["name", "dtg", "count", "score"])
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert schema["count"] == "bigint" and schema["score"] == "double"
+    assert schema["dtg"] == "timestamp"
+    assert "name:String" in spec and "count:Long" in spec
+    assert df.count() == 2
+
+
+def test_shapefile_round_trip(spark, sf_dir, tmp_path):
+    from geomesa_spark.sources.export import write_shapefile
+    from geomesa_spark.sources.ingest import read_shapefile
+    from geomesa_spark.sources.testdata import geo_events
+    geo = geo_events(spark, sf_dir).where("event_id < 40") \
+        .select("event_id", "event_type", "lon", "lat")
+    base = str(tmp_path / "layer")
+    write_shapefile(geo, base)
+    back = read_shapefile(spark, base)
+    assert back.count() == geo.count()
+    src = {r.event_id: r for r in geo.collect()}
+    for r in back.collect():
+        s = src[int(r.event_id)]
+        assert r.event_type == s.event_type
+        assert abs(r.lon - s.lon) < 1e-12 and abs(r.lat - s.lat) < 1e-12

@@ -210,3 +210,29 @@ def test_kafka_stream_raises_without_connector(spark):
         # connector present in this environment: the stream is unstarted
         # and schema-correct
         assert "fid" in df.columns
+
+
+def test_tumbling_window_with_watermark(spark, input_dir, tmp_path):
+    """Windowed live metrics (SURVEY §2.9: tumbling aggregation comes free
+    via F.window + watermark): per-12h event counts over the file stream,
+    drained with availableNow; result matches the batch window agg."""
+    stream = spark.readStream.schema(SCHEMA).parquet(input_dir)
+    agg = (stream
+           .withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "12 hours").alias("w"))
+           .agg(F.count("*").alias("n"),
+                F.sum("value").alias("total")))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("win_view")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.w.start.isoformat(), r.n, float(r.total))
+           for r in spark.sql("SELECT * FROM win_view").collect()}
+
+    batch = spark.read.schema(SCHEMA).parquet(input_dir)
+    want = {(r.w.start.isoformat(), r.n, float(r.total)) for r in
+            (batch.groupBy(F.window("ts", "12 hours").alias("w"))
+             .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+             .collect())}
+    assert got == want and len(got) >= 3
