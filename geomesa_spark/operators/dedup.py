@@ -141,9 +141,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
     """
     rows = pt.MINHASH_K // bands
     # ONE aggregation produces both the minhash signature AND the shingle
-    # set used for exact verification — a single tokenize+shuffle pass over
-    # the corpus; the three consumers below (band explode, verify sides a/b)
-    # share the shuffle via Spark's exchange reuse.
+    # set used for exact verification, so every consumer below (band
+    # explode, verify sides a/b) recomputes the same single-shuffle
+    # lineage with its own column pruning — no second tokenize+window
+    # FORMULATION exists.  (Catalyst cannot share the exchanges across
+    # consumers because pruning differentiates them; in a real deployment
+    # the signature table is a write-time artifact — materialize per_doc
+    # once with layout.write_indexed and all three consumers read it.)
     sh = shingle_set(df, id_col, text_col)
     per_doc = sh.groupBy(id_col).agg(
         *[F.expr(pt.minhash_min("sh", j)).alias(f"m{j}")

@@ -102,15 +102,21 @@ def langid(docs: DataFrame, id_col: str = "doc_id",
     pass is one explode + groupBy.
     """
     # pre-aggregate the exploded bigram stream to compact per-doc counts
-    # FIRST — everything downstream (lang totals, profiles, doc scoring)
-    # derives from this table, so the only shuffle over corpus-sized data is
-    # this one groupBy, and Spark's exchange reuse shares it across the three
-    # consumers (no persist of a bigger-than-corpus exploded table).
+    # FIRST (no persist of a bigger-than-corpus exploded table).  The
+    # corpus is tokenized twice — once for the profile lineage, once for
+    # scoring — with each pass column-pruned to what it needs; Catalyst's
+    # exchange reuse cannot share them (pruning makes the exchanges
+    # differ), and two cheap pruned passes beat pinning a corpus-sized
+    # table in executor memory.  At deployment scale the profile is a
+    # write-time artifact anyway (it changes with the corpus, not the
+    # query).
     bgc = (_bigram_rows(docs, id_col, text_col, lang_col)
            .groupBy(id_col, lang_col, "bg").agg(F.count("*").alias("c")))
-    totals = bgc.groupBy(lang_col).agg(F.sum("c").alias("tot"))
+    # per-lang totals via a window over the (lang, bg) aggregation — the
+    # profile is ONE lineage (no separate totals scan)
+    lang_w = Window.partitionBy(lang_col)
     profile = (bgc.groupBy(lang_col, "bg").agg(F.sum("c").alias("lc"))
-               .join(totals, lang_col)
+               .withColumn("tot", F.sum("lc").over(lang_w))
                .select(F.col(lang_col).alias("cand_lang"), "bg",
                        F.floor(F.col("lc") * 1e6 / F.col("tot"))
                        .cast("long").alias("w")))
