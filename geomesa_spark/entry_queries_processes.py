@@ -500,10 +500,67 @@ WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
 """
 
 
+def q_density_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line rasterization: per-track consecutive-point segments inside the
+    cluster bbox rasterized onto a 128x128 grid with a pure-Catalyst DDA
+    walk (DensityScan's line renderer, RenderingGrid.render(LineString))."""
+    from geomesa_spark.operators.tiling import density_lines
+    geo = geo_events(spark, sf_dir)
+    trk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    segs = (geo
+            .withColumn("x2", F.lead("lon").over(trk))
+            .withColumn("y2", F.lead("lat").over(trk))
+            .where(F.col("x2").isNotNull())
+            .selectExpr("lon AS x1", "lat AS y1", "x2", "y2"))
+    out = density_lines(segs, (40.0, 20.0, 50.0, 30.0), 128, 128)
+    return out.select("px", "py", F.col("weight").cast("long").alias("w"))
+
+
+Q_DENSITY_LINES_SQL = f"""
+{GEO},
+segs AS (
+  SELECT lon AS x1, lat AS y1,
+         lead(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x2,
+         lead(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y2
+  FROM geo
+),
+f AS (
+  SELECT x1, y1, x2, y2 FROM segs
+  WHERE x2 IS NOT NULL
+    AND x1 BETWEEN 40.0 AND 50.0 AND x2 BETWEEN 40.0 AND 50.0
+    AND y1 BETWEEN 20.0 AND 30.0 AND y2 BETWEEN 20.0 AND 30.0
+),
+p AS (
+  SELECT least(greatest((x1 - 40.0e0) / 10.0e0 * 128, 0.0e0), 128 - 1e-9) AS ax,
+         least(greatest((y1 - 20.0e0) / 10.0e0 * 128, 0.0e0), 128 - 1e-9) AS ay,
+         least(greatest((x2 - 40.0e0) / 10.0e0 * 128, 0.0e0), 128 - 1e-9) AS bx,
+         least(greatest((y2 - 20.0e0) / 10.0e0 * 128, 0.0e0), 128 - 1e-9) AS by
+  FROM f
+),
+n AS (
+  SELECT ax, ay, bx, by,
+         CAST(greatest(abs(floor(bx) - floor(ax)),
+                       abs(floor(by) - floor(ay)), 0) AS INT) AS n
+  FROM p
+),
+pix AS (
+  SELECT unnest(list_distinct(list_transform(range(0, n + 1), i ->
+           CAST(floor(ax + (bx - ax) * i / greatest(n, 1)) AS BIGINT) * 128
+           + CAST(floor(ay + (by - ay) * i / greatest(n, 1)) AS BIGINT)))) AS pix
+  FROM n
+)
+SELECT CAST(pix // 128 AS INT) AS px,
+       CAST(pix % 128 AS INT) AS py,
+       CAST(count(*) AS BIGINT) AS w
+FROM pix GROUP BY pix
+"""
+
+
 PROCESS_QUERIES = {
     "st_relate": (q_st_relate, Q_ST_RELATE_SQL),
     "s2_index": (q_s2_index, Q_S2_INDEX_SQL),
     "xz2_bbox": (q_xz2_bbox, Q_XZ2_SQL),
+    "density_lines": (q_density_lines, Q_DENSITY_LINES_SQL),
     "proximity_join": (q_proximity_join, Q_PROXIMITY_SQL),
     "tube_select": (q_tube_select, Q_TUBE_SQL),
     "route_search": (q_route_search, Q_ROUTE_SQL),
