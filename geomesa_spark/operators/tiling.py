@@ -162,6 +162,39 @@ def density_lines(df: DataFrame, envelope: tuple, width: int, height: int, *,
     return out
 
 
+def density_polygons(spark, polygons: list[tuple], envelope: tuple,
+                     width: int, height: int,
+                     weights: dict | None = None) -> DataFrame:
+    """Density grid for POLYGON footprints: every pixel whose center lies
+    inside a polygon gets that polygon's weight (DensityScan's polygon
+    renderer, RenderingGrid.render(Polygon)).
+
+    Composition, not a new kernel: materialize the bounded pixel grid
+    (width x height rows) with pixel-center lon/lat and PIP-join it
+    against the polygon set with the engine's native ray-cast join —
+    "general polygon fill composes bbox fill with the PIP refine".
+    ``polygons`` is the small driver-side [(id, wkt-or-geom)] collection;
+    ``weights`` maps polygon id -> weight (default 1.0 each).
+    """
+    from geomesa_spark.operators.pip_join import pip_join_broadcast
+    exmin, eymin, exmax, eymax = envelope
+    grid = (spark.range(width * height)
+            .selectExpr(f"CAST(id div {height} AS int) AS px",
+                        f"CAST(id % {height} AS int) AS py")
+            .withColumn("lon", F.lit(exmin) + (F.col("px") + 0.5)
+                        * F.lit((exmax - exmin) / width))
+            .withColumn("lat", F.lit(eymin) + (F.col("py") + 0.5)
+                        * F.lit((eymax - eymin) / height)))
+    hit = pip_join_broadcast(grid, polygons)
+    if weights:
+        wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        hit = hit.withColumn("__w", wmap[F.col("poly_id")])
+    else:
+        hit = hit.withColumn("__w", F.lit(1.0))
+    return (hit.groupBy("px", "py")
+            .agg(F.sum("__w").alias("weight")))
+
+
 def write_tile_pyramid(df: DataFrame, path: str, zooms: list[int], **kwargs) -> None:
     """Materialize the pyramid partitioned by zoom (partition pruning on read)."""
     tiles = tile_pyramid(df, zooms, **kwargs)

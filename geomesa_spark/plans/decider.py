@@ -282,3 +282,68 @@ def select_strategy(spec: QuerySpec, indices: list[str],
             if s.temporal and not math.isinf(s.cost):
                 return s
     return costed[0]
+
+
+# ---------------------------------------------------------------------------
+# strategy execution (the QueryRunner half: chosen index -> pruned scan)
+# ---------------------------------------------------------------------------
+
+def scan_with_strategy(df: DataFrame, query, strategy: Strategy,
+                       period: str = "week") -> DataFrame:
+    """Execute a SpatialQuery over an indexed layout using the CHOSEN
+    strategy's primary predicate as the scan prefilter, then the query's
+    full exact predicate (the residual) — the QueryRunner/IndexAdapter
+    half of the planner (planning/QueryRunner.scala).
+
+    The prefilter targets STORED index columns (z2/s2/time_bin written by
+    sources/layout.write_indexed) so it prunes partitions/files; the
+    exact predicate guarantees the result is identical to running the
+    query without the index (cover property), asserted in tests.
+    Unknown/`full` strategies run the plain query.
+    """
+    import datetime as _dt
+
+    from geomesa_spark.plans import cover as _cover
+
+    pre = None
+    if strategy.index in ("z2", "z3") and query.bbox is not None \
+            and "z2" in df.columns:
+        pre = _cover.z2_range_predicate(F.col("z2"), [tuple(query.bbox)])
+        if strategy.index == "z3" and query.interval is not None \
+                and "time_bin" in df.columns:
+            b0, b1 = (_interval_bins(query.interval, period))
+            if b0 is not None:
+                pre = pre & F.col("time_bin").between(b0, b1)
+    elif strategy.index == "s2" and query.bbox is not None \
+            and "s2" in df.columns:
+        pre = _cover.s2_range_predicate(F.col("s2"), [tuple(query.bbox)])
+    elif strategy.index.startswith("attr:"):
+        # the attribute predicate is already part of query.where; the
+        # attr-index benefit is its sorted secondary table (attr_index.py)
+        pre = None
+    scanned = df if pre is None else df.where(pre)
+    return query.apply(scanned)
+
+
+def _interval_bins(interval, period: str):
+    import datetime as dt
+
+    from geomesa_spark.cells.z3 import DAY_MS, WEEK_MS
+    per_ms = {"day": DAY_MS, "week": WEEK_MS}.get(period)
+    if per_ms is None:
+        return None, None
+
+    def to_ms(v):
+        if v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return int(v * 1000)
+        return int(dt.datetime.fromisoformat(str(v))
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    lo, hi = to_ms(interval[0]), to_ms(interval[1])
+    if lo is None and hi is None:
+        return None, None
+    b0 = lo // per_ms if lo is not None else 0
+    b1 = hi // per_ms if hi is not None else (1 << 31)
+    return b0, b1

@@ -146,3 +146,41 @@ def test_spatial_query_plan_integration():
     assert s.index == "attr:user_id"   # ~10 rows beats the z3 scan
     s2 = q.plan(["z3", "z2"], STATS)
     assert s2.index == "z3"
+
+
+def test_scan_with_strategy_on_layout(spark, sf_dir, tmp_path):
+    """End-to-end: pick a strategy, execute it over an indexed layout —
+    result identical to the plain query; the chosen index's range
+    predicate appears in the plan."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.plans.decider import scan_with_strategy, select_strategy
+    from geomesa_spark.plans.query import SpatialQuery
+    from geomesa_spark.sources.layout import read_indexed, write_indexed
+    from geomesa_spark.sources.testdata import geo_events
+
+    path = str(tmp_path / "layout")
+    write_indexed(geo_events(spark, sf_dir), path, period="week")
+    df = read_indexed(spark, path)
+
+    q = SpatialQuery(bbox=(40.0, 20.0, 50.0, 30.0),
+                     interval=("2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+                     allow_full_scan=True)
+    strat = q.plan(["z3", "z2"], None)
+    assert strat.index == "z3"
+    got = scan_with_strategy(df, q, strat, period="week")
+    want = q.apply(df)
+    assert got.count() == want.count() > 0
+    assert {r.event_id for r in got.select("event_id").collect()} \
+        == {r.event_id for r in want.select("event_id").collect()}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "z2" in plan and "time_bin" in plan
+
+    # s2 layout path
+    path2 = str(tmp_path / "layout_s2")
+    write_indexed(geo_events(spark, sf_dir), path2, period="week", cell="s2")
+    df2 = read_indexed(spark, path2)
+    q2 = SpatialQuery(bbox=(40.0, 20.0, 50.0, 30.0), allow_full_scan=True)
+    strat2 = q2.plan(["s2"], None)
+    got2 = scan_with_strategy(df2, q2, strat2)
+    assert got2.count() == q2.apply(df2).count() > 0

@@ -100,3 +100,34 @@ class TestFidelityPipeline:
                 .sort_values(["tx", "ty", "px", "py"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype("int64"), want.astype("int64"), check_dtype=False)
+
+
+def test_density_polygons_matches_bruteforce(spark):
+    """Polygon renderer (grid x PIP composition) vs per-pixel numpy truth."""
+    import numpy as np
+
+    from geomesa_spark.geom import algos, wkt
+    from geomesa_spark.operators.tiling import density_polygons
+
+    polys = [
+        ("diamond", "POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))"),
+        ("tri", "POLYGON ((41 21, 44 21, 41 24, 41 21))"),
+    ]
+    env = (40.0, 20.0, 50.0, 30.0)
+    W = H = 64
+    out = {(r.px, r.py): r.weight for r in
+           density_polygons(spark, polys, env, W, H,
+                            weights={"diamond": 2.0, "tri": 1.0}).collect()}
+    # brute force: classify every pixel center against each polygon
+    xs = env[0] + (np.arange(W) + 0.5) * (env[2] - env[0]) / W
+    ys = env[1] + (np.arange(H) + 0.5) * (env[3] - env[1]) / H
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    want = np.zeros((W, H))
+    for pid, w in (("diamond", 2.0), ("tri", 1.0)):
+        g = wkt.wkt_loads(dict(polys)[pid])
+        m = algos.points_intersect(gx.ravel(), gy.ravel(), g).reshape(W, H)
+        want += m * w
+    for i in range(W):
+        for j in range(H):
+            assert out.get((i, j), 0.0) == want[i, j], (i, j)
+    assert sum(1 for v in out.values() if v > 0) > 50
