@@ -312,3 +312,42 @@ def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
     return (cand.withColumn("ann_rank", F.row_number().over(win))
             .where(F.col("ann_rank") <= k)
             .select("qid", id_col, "ann_rank"))
+
+
+def expand_probes(df: DataFrame, bits: int = DEFAULT_BITS) -> DataFrame:
+    """Multiprobe expansion: each (band, key) row additionally probes every
+    single-bit-flip neighbor key (bits+1 probes per band).  Applied to the
+    QUERY side only (it is broadcast-tiny), this recovers near neighbors
+    whose signature differs by one hyperplane vote without growing the
+    corpus-side index — the standard multi-probe LSH recall lever
+    (Lv et al., VLDB'07)."""
+    flips = F.array(F.col("key"),
+                    *[F.expr(f"cast(key ^ {1 << j} AS int)")
+                      for j in range(bits)])
+    return (df.withColumn("key", F.explode(flips)))
+
+
+def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bands: int = DEFAULT_BANDS,
+                        bits: int = DEFAULT_BITS) -> DataFrame:
+    """lsh_topk with query-side multiprobe (bits+1 probes per band)."""
+    c = (with_band_keys(corpus, vec_col, bands, bits)
+         .withColumn("__na", _norm_col(vec_col)))
+    q = expand_probes(
+        with_band_keys(queries, vec_col, bands, bits), bits) \
+        .withColumn("__nb", _norm_col(vec_col)) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                "__nb", "band", "key")
+    sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
+           / (F.col("__na") * F.col("__nb")))
+    win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (c.join(F.broadcast(q), ["band", "key"])
+            .where(F.col("qid") != F.col(id_col))
+            .groupBy("qid", id_col)
+            .agg(F.first(vec_col).alias(vec_col), F.first("qvec").alias("qvec"),
+                 F.first("__na").alias("__na"), F.first("__nb").alias("__nb"))
+            .withColumn("sim", sim)
+            .withColumn("ann_rank", F.row_number().over(win))
+            .where(F.col("ann_rank") <= k)
+            .select("qid", id_col, "ann_rank"))

@@ -191,3 +191,20 @@ def test_ivf_topk_recall_and_exact_degenerate(spark):
         corpus, queries_pd, k=5, nlist=8, nprobe=8,
         assigned=assigned, centroids=centroids).collect()}
     assert got_all == truth
+
+
+def test_multiprobe_improves_recall(spark, sf_dir):
+    """Multiprobe candidates are a superset of the plain LSH candidates,
+    and recall against brute force does not decrease (usually improves)."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.where("vec_id < 10")
+    truth = {(r.qid, r.vec_id) for r in
+             ann.cosine_topk(embs, queries, k=5).collect()}
+    plain = {(r.qid, r.vec_id) for r in
+             ann.lsh_topk(embs, queries, k=5).collect()}
+    multi = {(r.qid, r.vec_id) for r in
+             ann.lsh_topk_multiprobe(embs, queries, k=5).collect()}
+    r_plain = len(plain & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_plain
+    assert r_multi > 0
