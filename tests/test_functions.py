@@ -311,3 +311,29 @@ class TestEngineCellFunctions:
         rows2 = df.select(uuid_z3_col(F.col("lon"), F.col("lat"), F.col("ts"),
                                       F.col("id")).alias("u")).collect()
         assert [r.u for r in rows] == [r.u for r in rows2]
+
+
+class TestColumnFunctionAPI:
+    """Typed column bindings (geomesa_pyspark.scala.functions parity)."""
+
+    def test_column_functions(self, spark):
+        from geomesa_spark.functions import api as st
+        df = spark.range(1)
+        row = df.select(
+            st.st_asText(st.st_geomFromWKT(F.lit("POINT (1 2)"))).alias("t"),
+            st.st_contains(
+                st.st_geomFromWKT(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
+                st.st_makePoint(F.lit(1.0), F.lit(2.0))).alias("c"),
+            st.st_relate(
+                st.st_geomFromWKT(F.lit("LINESTRING(1 2, 3 4)")),
+                st.st_geomFromWKT(F.lit("LINESTRING(5 6, 7 8)"))).alias("r"),
+        ).collect()[0]
+        assert row.t == "POINT (1 2)"
+        assert row.c is True
+        assert row.r == "FF1FF0102"
+
+    def test_dir_lists_surface(self):
+        from geomesa_spark.functions import api as st
+        names = dir(st)
+        assert "st_intersects" in names and "st_difference" in names
+        assert len([n for n in names if n.startswith("st_")]) > 70
