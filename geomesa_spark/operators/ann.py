@@ -141,10 +141,12 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Candidates = corpus rows sharing >=1 band key with the query (broadcast
     hash join on (band, key)); duplicate band hits are collapsed BEFORE
     scoring, so each unique candidate pays exactly one dot fold."""
-    c = (with_band_keys(corpus, vec_col, bands, bits)
-         .withColumn("__na", _norm_col(vec_col)))
-    q = (with_band_keys(queries, vec_col, bands, bits)
-         .withColumn("__nb", _norm_col(vec_col))
+    # norms hoisted BEFORE the band explode: one fold per vector, not one
+    # per (vector, band) row
+    c = with_band_keys(corpus.withColumn("__na", _norm_col(vec_col)),
+                       vec_col, bands, bits)
+    q = (with_band_keys(queries.withColumn("__nb", _norm_col(vec_col)),
+                        vec_col, bands, bits)
          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
                  "__nb", "band", "key"))
     sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
@@ -171,8 +173,8 @@ def near_dup_pairs(corpus: DataFrame, threshold: float = 0.99,
     preserves every hyperplane sign) are deduped FIRST, then refined with
     exact cosine >= threshold — one dot fold per unique candidate pair,
     norms precomputed per row.  Output (id_a < id_b, sim_ppm)."""
-    b = (with_band_keys(corpus, vec_col, bands, bits)
-         .withColumn("__n", _norm_col(vec_col)))
+    b = with_band_keys(corpus.withColumn("__n", _norm_col(vec_col)),
+                       vec_col, bands, bits)
     la = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                   F.col("__n").alias("__na"), "band", "key")
     lb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
@@ -332,11 +334,11 @@ def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         bands: int = DEFAULT_BANDS,
                         bits: int = DEFAULT_BITS) -> DataFrame:
     """lsh_topk with query-side multiprobe (bits+1 probes per band)."""
-    c = (with_band_keys(corpus, vec_col, bands, bits)
-         .withColumn("__na", _norm_col(vec_col)))
+    c = with_band_keys(corpus.withColumn("__na", _norm_col(vec_col)),
+                       vec_col, bands, bits)
     q = expand_probes(
-        with_band_keys(queries, vec_col, bands, bits), bits) \
-        .withColumn("__nb", _norm_col(vec_col)) \
+        with_band_keys(queries.withColumn("__nb", _norm_col(vec_col)),
+                       vec_col, bands, bits), bits) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
                 "__nb", "band", "key")
     sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
