@@ -329,8 +329,49 @@ FROM pairs WHERE sim >= 0.99e0
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band pigeonhole candidates + exact
+    bit_count(xor) verify, hamming <= 3."""
+    return dedup.simhash_pairs(docsrc.corpus(spark, sf_dir), max_hamming=3)
+
+
+Q_SIMHASH_PAIRS_SQL = f"""
+{CORPUS},
+tk AS (
+  SELECT doc_id, {pt.token_hashes(pt.tokens('text', D), D)} AS th FROM corpus
+),
+tokx AS (SELECT doc_id, unnest(th) AS h FROM tk),
+votes AS (
+  SELECT doc_id, bits.b,
+         sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tokx CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+  GROUP BY doc_id, bits.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 8)) & 255 AS key
+  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, z.doc_id AS id_b,
+         bit_count(xor(a.simhash, z.simhash)) AS hamming
+  FROM bands a JOIN bands z
+    ON a.band = z.band AND a.key = z.key AND a.doc_id < z.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
 PIPELINE_QUERIES = {
     "exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
+    "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),

@@ -204,6 +204,45 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     return per_doc.select(id_col, sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bands: int = 4) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
+
+    Pigeonhole banding: a 32-bit signature split into ``bands`` byte bands
+    — two signatures within hamming distance bands-1 MUST agree on at
+    least one whole band, so the band equi-join is a lossless candidate
+    generator for max_hamming <= bands - 1 (the classic Manku/Jain/Sarma
+    simhash dedup layout).  Candidates verify with
+    bit_count(xor) — native, no shuffle beyond the band join.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall for "
+            f"hamming <= {bands - 1}")
+    width = 32 // bands
+    sig = simhash(df, id_col, text_col)
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("simhash", b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for b in range(bands)]
+    bands_df = (sig.select(id_col, "simhash",
+                           F.explode(F.array(*band_structs)).alias("bk"))
+                .select(id_col, "simhash", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
+    la = bands_df.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sig_a"), "band", "key")
+    lb = bands_df.select(F.col(id_col).alias("id_b"),
+                         F.col("simhash").alias("sig_b"), "band", "key")
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (la.join(lb, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """Drop every doc that near-duplicates a lower-id doc (greedy transitive).

@@ -208,3 +208,15 @@ def test_multiprobe_improves_recall(spark, sf_dir):
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= r_plain
     assert r_multi > 0
+
+
+def test_simhash_pairs_recover_exact_dups(corpus):
+    """Planted exact duplicates have identical signatures (hamming 0) and
+    band-join recall is guaranteed for hamming <= bands-1."""
+    pairs = dedup.simhash_pairs(corpus, max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    planted = [(a, b) for (a, b) in got if b - a == docsrc.EXACT_OFF]
+    assert planted and all(got[p] == 0 for p in planted)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dedup.simhash_pairs(corpus, max_hamming=5, bands=4)
