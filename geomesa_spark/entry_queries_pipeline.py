@@ -340,11 +340,13 @@ Q_SIMHASH_PAIRS_SQL = f"""
 tk AS (
   SELECT doc_id, {pt.token_hashes(pt.tokens('text', D), D)} AS th FROM corpus
 ),
-tokx AS (SELECT doc_id, unnest(th) AS h FROM tk),
+tokx AS (SELECT doc_id,
+                (unnest(th) * {dedup.MIX_MULT}) % {dedup.MIX_MOD} AS h
+         FROM tk),
 votes AS (
   SELECT doc_id, bits.b,
          sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM tokx CROSS JOIN (SELECT unnest(range(32)) AS b) bits
+  FROM tokx CROSS JOIN (SELECT unnest(range(60)) AS b) bits
   GROUP BY doc_id, bits.b
 ),
 sig AS (
@@ -355,7 +357,7 @@ sig AS (
 ),
 bands AS (
   SELECT doc_id, simhash, b.band,
-         (simhash >> (b.band * 8)) & 255 AS key
+         (simhash >> (b.band * 15)) & 32767 AS key
   FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b
 ),
 cand AS (

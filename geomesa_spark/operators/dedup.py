@@ -183,16 +183,28 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
                     F.floor(F.col("jac") * 1e6).cast("long").alias("jac_ppm")))
 
 
+MIX_MULT = 2654435761  # Knuth multiplicative constant; h < 2^31 keeps
+MIX_MOD = 1 << 60      # h * MIX_MULT < 2^63 (no overflow in either engine)
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash per document (token multiset, bit-vote aggregation).
+            text_col: str = "text", bits: int = 32,
+            mix: bool = False) -> DataFrame:
+    """SimHash per document (token multiset, bit-vote aggregation).
 
     The bit votes are `bits` conditional sums inside ONE groupBy over the
     token stream (vote s_b = 2*ones_b - n, so s_b > 0 <=> 2*ones_b > n) —
     no sequence-explode multiplying the shuffle by `bits`; the shuffle
     carries exactly one row per token with map-side partial aggregation.
+
+    Token hashes carry ~31 bits of entropy; for signatures wider than
+    that, ``mix=True`` remixes each hash over 60 bits first
+    ((h * MIX_MULT) % 2^60 — overflow-free in Spark AND DuckDB, so the
+    oracle reproduces it exactly).
     """
     tok = token_hash_rows(df, id_col, text_col).select(id_col, "h")
+    if mix:
+        tok = tok.withColumn("h", F.expr(f"(h * {MIX_MULT}) % {MIX_MOD}"))
     ones = [F.sum(F.expr(f"(h >> {b}) & 1")).alias(f"o{b}")
             for b in range(bits)]
     per_doc = tok.groupBy(id_col).agg(F.count("*").alias("n"), *ones)
@@ -206,22 +218,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4, sig_bits: int = 60) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
 
-    Pigeonhole banding: a 32-bit signature split into ``bands`` byte bands
-    — two signatures within hamming distance bands-1 MUST agree on at
-    least one whole band, so the band equi-join is a lossless candidate
+    Pigeonhole banding: the signature split into ``bands`` equal bands —
+    two signatures within hamming distance bands-1 MUST agree on at least
+    one whole band, so the band equi-join is a lossless candidate
     generator for max_hamming <= bands - 1 (the classic Manku/Jain/Sarma
-    simhash dedup layout).  Candidates verify with
-    bit_count(xor) — native, no shuffle beyond the band join.
+    simhash dedup layout).  Candidates verify with bit_count(xor) —
+    native, no shuffle beyond the band join.
+
+    ``sig_bits`` defaults to 60 (not the display signature's 32): wide
+    signatures keep the per-band keyspace large (2^15 per band at 4
+    bands) so random collisions — and with them the candidate volume —
+    stay near zero at corpus scale; 60 keeps every partial sum inside a
+    signed 64-bit value on BOTH engines (DuckDB sums to HUGEINT, Spark
+    wraps — bit 63 would diverge).
     """
     if max_hamming > bands - 1:
         raise ValueError(
             f"banding with {bands} bands only guarantees recall for "
             f"hamming <= {bands - 1}")
-    width = 32 // bands
-    sig = simhash(df, id_col, text_col)
+    width = sig_bits // bands
+    sig = simhash(df, id_col, text_col, bits=sig_bits, mix=True)
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.shiftright("simhash", b * width)
