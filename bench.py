@@ -48,6 +48,14 @@ def main() -> None:
     # first from_json use pays several seconds of Jackson class loading +
     # codegen — that is session warmup, not query throughput
     spark.range(1).select(F.from_json(F.lit('{"k": 1}'), "k INT")).collect()
+    # first pandas UDF spins the whole python-worker fleet (CPUS workers x
+    # pandas import) — also session warmup, not query cost
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+    spark.range(64).select(_warm(F.col("id").cast("double"))).collect()
 
     imgs = synthetic_images_geo(spark, IMAGES_ROWS)
     t0 = time.time()
@@ -60,14 +68,21 @@ def main() -> None:
     # ---- per-query times on the driver tables --------------------------------
     queries = entry_mod.queries()
     q_times: dict[str, float] = {}
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "2"))
     for name, fn in sorted(queries.items()):
-        # settle between queries: the Arrow-python-worker queries leave GC
-        # debt that would otherwise bleed into the NEXT query's timing
-        spark.sparkContext._jvm.System.gc()
-        t1 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t1, 3)
+        best = None
+        # min-of-reps: the host VM shows +-30% hour-to-hour variance and
+        # per-query plan/codegen compilation belongs to the first rep only
+        for _ in range(reps):
+            # settle between queries: the Arrow-python-worker queries leave
+            # GC debt that would otherwise bleed into the NEXT timing
+            spark.sparkContext._jvm.System.gc()
+            t1 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            took = time.time() - t1
+            best = took if best is None else min(best, took)
+        q_times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     scaling = {}

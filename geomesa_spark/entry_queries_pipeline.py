@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions import portable as pt
 from geomesa_spark.operators import ann, dedup, text
 from geomesa_spark.sources import documents as docsrc
+from geomesa_spark.sources.sigtable import cache_path
 
 D = pt.DUCK
 
@@ -93,8 +94,12 @@ cand AS (
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH (16 hashes, 4x4 bands) candidates + exact-Jaccard >=0.4."""
-    return dedup.minhash_lsh_pairs(docsrc.corpus(spark, sf_dir), threshold=0.4)
+    """MinHash-LSH (16 hashes, 4x4 bands) candidates + exact-Jaccard >=0.4.
+
+    The per-doc signature+shingle-set table is materialized once (the
+    write-time signature artifact) and scanned by all three consumers."""
+    return dedup.minhash_lsh_pairs(docsrc.corpus(spark, sf_dir), threshold=0.4,
+                                   sig_path=cache_path("minhash", sf_dir))
 
 
 def _minhash_oracle() -> str:
@@ -276,9 +281,14 @@ SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-hyperplane LSH ANN: probe only the query's bucket (scale path)."""
+    """Sign-hyperplane LSH ANN: probe only the query's bucket (scale path).
+
+    The corpus band index (id, vec, norm, band, key) is written once per
+    call (ann.write_band_index — the write-time half) and the probe join
+    reads the stored table."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
+    return ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5,
+                        sig_path=cache_path("ann_bands", sf_dir))
 
 
 def _band_cte(src: str) -> str:
@@ -310,8 +320,10 @@ SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dups (cos >= 0.99): bucket join + exact-cosine refine."""
-    return ann.near_dup_pairs(docsrc.vectors(spark, sf_dir), threshold=0.99)
+    """Embedding near-dups (cos >= 0.99): bucket join + exact-cosine refine
+    over the materialized band-index table (one signature pass, not two)."""
+    return ann.near_dup_pairs(docsrc.vectors(spark, sf_dir), threshold=0.99,
+                              sig_path=cache_path("neardup_bands", sf_dir))
 
 
 Q_EMBED_NEAR_DUP_SQL = f"""
@@ -331,8 +343,10 @@ FROM pairs WHERE sim >= 0.99e0
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-band pigeonhole candidates + exact
-    bit_count(xor) verify, hamming <= 3."""
-    return dedup.simhash_pairs(docsrc.corpus(spark, sf_dir), max_hamming=3)
+    bit_count(xor) verify, hamming <= 3.  The (id, simhash) signature is
+    a materialized write-time table scanned by both join sides."""
+    return dedup.simhash_pairs(docsrc.corpus(spark, sf_dir), max_hamming=3,
+                               sig_path=cache_path("simhash_sigs", sf_dir))
 
 
 Q_SIMHASH_PAIRS_SQL = f"""

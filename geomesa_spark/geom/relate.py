@@ -401,6 +401,19 @@ def difference(a, b):
                 shell_a = np.vstack([shell_a, shell_a[:1]])
             pieces = [shell_a]
             clips: list[np.ndarray] = []
+            # minuend holes are just more subtrahend pieces:
+            # (shell - holes) - B == ((shell - H1) - H2 ...) - B, so each
+            # hole joins the sequential clip list through the same
+            # half-plane machinery (fixes the r2 silent wrong answer where
+            # holes were dropped and their area wrongly returned)
+            for hole in ca.holes:
+                h = np.asarray(hole, dtype=np.float64)
+                if h[0].tolist() != h[-1].tolist():
+                    h = np.vstack([h, h[:1]])
+                if _is_convex(h):
+                    clips.append(h)
+                else:
+                    clips.extend(_ear_clip(h))
             for cb in b._components():
                 if not isinstance(cb, model.Polygon):
                     continue

@@ -62,14 +62,48 @@ def _band_planes(bands: int, bits: int) -> list[list[list[float]]]:
     return [planes[b * bits:(b + 1) * bits] for b in range(bands)]
 
 
-def _band_key_col(vec_col: str, planes: list[list[float]]):
-    """Sign-bit key of one band as a Catalyst int expression."""
-    key = None
-    for j, plane in enumerate(planes):
-        bit = F.when(F.expr(pt.dot_literal(vec_col, plane, pt.SPARK)) > 0,
-                     F.lit(1 << j)).otherwise(F.lit(0))
-        key = bit if key is None else (key + bit)
-    return key.cast("int")
+def _sig_udf(bands: int, bits: int):
+    """Arrow-batched signature kernel: band keys + norm in ONE pass.
+
+    The per-(row, plane) dot product accumulates SEQUENTIALLY over the
+    dimension index while vectorizing over the rows of the Arrow batch
+    (``acc += mat[:, i] * P[:, i]`` for i in 0..DIM-1): every row/plane
+    pair sees exactly the left-to-right IEEE addition order of the
+    oracle's sequential fold, so the sign bits — and hence the band keys
+    — are bit-identical to the DuckDB CASE WHEN fold, while the batch
+    does numpy-vectorized work instead of 32 interpreted Catalyst folds
+    per row.  (This is the "batched cell assignment via vectorized Arrow
+    UDFs" design of the engine's cell indices applied to hyperplane
+    signatures; unrolled native arithmetic was tried first but 32x64
+    multiply-add terms in one projection exceed janino's 64 KB method
+    cap and de-codegen the whole stage.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    plane_rows = pt.hyperplanes(bands * bits, DIM)
+    pmat = np.array(plane_rows, dtype=np.float64)          # (bands*bits, DIM)
+
+    @pandas_udf("struct<keys: array<int>, norm: double>")
+    def sig(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"keys": [], "norm": []})
+        mat = np.stack(v.to_numpy()).astype(np.float64)    # (n, DIM)
+        n = mat.shape[0]
+        acc = np.zeros((n, pmat.shape[0]), dtype=np.float64)
+        nacc = np.zeros(n, dtype=np.float64)
+        for i in range(mat.shape[1]):
+            col = mat[:, i]
+            acc += col[:, None] * pmat[None, :, i]
+            nacc += col * col
+        signs = acc > 0                                     # (n, bands*bits)
+        weights = np.array([1 << j for j in range(bits)], dtype=np.int64)
+        keys = [
+            (signs[:, b * bits:(b + 1) * bits] @ weights).astype(np.int32)
+            for b in range(bands)]
+        key_lists = np.stack(keys, axis=1).tolist()
+        return pd.DataFrame({"keys": key_lists, "norm": np.sqrt(nacc)})
+
+    return sig
 
 
 def band_key_sql(vec_col: str, d: str, band: int,
@@ -82,47 +116,78 @@ def band_key_sql(vec_col: str, d: str, band: int,
     return "(" + " + ".join(parts) + ")"
 
 
+def _resolve_bits(bits: int | None, df: DataFrame,
+                  n_rows: int | None) -> int:
+    """Resolve ``bits=None`` auto-scaling ONCE per operator call.
+
+    Callers that know the corpus size (or read it from a layout manifest)
+    pass ``n_rows`` and no extra Spark job runs; otherwise one count()
+    resolves it.  Two-sided operators MUST resolve before building either
+    side: corpus and query keys computed at different ``bits`` select
+    different hyperplane slices and the band join silently degenerates to
+    near-random candidates."""
+    if bits is not None:
+        return bits
+    return band_bits(n_rows if n_rows is not None else df.count())
+
+
 def with_band_keys(df: DataFrame, vec_col: str = "embedding",
                    bands: int = DEFAULT_BANDS,
-                   bits: int | None = DEFAULT_BITS) -> DataFrame:
+                   bits: int | None = DEFAULT_BITS,
+                   n_rows: int | None = None,
+                   norm_col: str | None = None) -> DataFrame:
     """Explodes each row into `bands` rows with (band, key) columns.
 
-    Pure Catalyst; the signature costs bands*bits dot products per row,
-    computed once at assignment (write) time in a real deployment."""
-    if bits is None:
-        bits = band_bits(df.count())
-    structs = [F.struct(F.lit(b).alias("band"),
-                        _band_key_col(vec_col, planes).alias("key"))
-               for b, planes in enumerate(_band_planes(bands, bits))]
-    return (df.withColumn("_bk", F.explode(F.array(*structs)))
-            .withColumn("band", F.col("_bk.band"))
-            .withColumn("key", F.col("_bk.key"))
-            .drop("_bk"))
+    The signature (bands*bits sign dots + optionally the row norm) is one
+    Arrow-batched kernel pass per row — the write-time assignment cost.
+    ``norm_col`` additionally surfaces the fold-exact vector norm from
+    the same pass (callers need it to score candidates with a single
+    native dot product per pair)."""
+    bits = _resolve_bits(bits, df, n_rows)
+    sig = _sig_udf(bands, bits)
+    keyed = df.withColumn("_sig", sig(F.col(vec_col)))
+    if norm_col is not None:
+        keyed = keyed.withColumn(norm_col, F.col("_sig.norm"))
+    return (keyed
+            .select("*", F.posexplode(F.col("_sig.keys")).alias("band", "key"))
+            .drop("_sig"))
+
+
+def _dot(vec_a: str, vec_b: str):
+    """Exact dot product, unrolled to flat native arithmetic for the fixed
+    embedding width — bit-identical to the oracle's sequential fold (same
+    left-to-right IEEE addition order) but whole-stage-codegen instead of
+    an interpreted higher-order `aggregate()`."""
+    return F.expr(pt.dot_unrolled(vec_a, vec_b, pt.SPARK, DIM))
 
 
 def _sim(vec_a: str, vec_b: str):
     """Cosine similarity column (unit-safe: explicit norm division)."""
-    dot = F.expr(pt.dot_product(vec_a, vec_b, pt.SPARK))
-    na = F.sqrt(F.expr(pt.dot_product(vec_a, vec_a, pt.SPARK)))
-    nb = F.sqrt(F.expr(pt.dot_product(vec_b, vec_b, pt.SPARK)))
-    return dot / (na * nb)
+    return _dot(vec_a, vec_b) / (F.sqrt(_dot(vec_a, vec_a))
+                                 * F.sqrt(_dot(vec_b, vec_b)))
 
 
 def _norm_col(vec_col: str):
-    """sqrt(dot(v, v)) — same sequential fold the oracle uses, computed
-    ONCE per row before candidate joins.  Catalyst's higher-order folds
-    are interpreted (no codegen): keeping the per-PAIR work to a single
-    dot fold (dot / (norm_a * norm_b), values bit-identical to _sim)
-    instead of three is a ~3x cut on the hot path."""
-    return F.sqrt(F.expr(pt.dot_product(vec_col, vec_col, pt.SPARK)))
+    """sqrt(dot(v, v)) — same addition order the oracle uses, computed
+    ONCE per row before candidate joins, so the per-PAIR work is a single
+    dot (dot / (norm_a * norm_b), values bit-identical to _sim)."""
+    return F.sqrt(_dot(vec_col, vec_col))
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Brute-force exact cosine top-k: broadcast queries x full corpus scan."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    cand = corpus.select(F.col(id_col), F.col(vec_col))
-    sim = _sim(vec_col, "qvec")
+    """Brute-force exact cosine top-k: broadcast queries x full corpus scan.
+
+    Norms are hoisted to one per ROW before the cross join, so each of
+    the n*q pairs pays a single 64-term native dot — both algorithmically
+    (3 dots -> 1 per pair) and because one dot compiles inside the join's
+    whole-stage codegen while three together exceed janino's method cap."""
+    q = (queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"))
+         .withColumn("__nb", F.sqrt(_dot("qvec", "qvec"))))
+    cand = (corpus.select(F.col(id_col), F.col(vec_col))
+            .withColumn("__na", _norm_col(vec_col)))
+    sim = _dot(vec_col, "qvec") / (F.col("__na") * F.col("__nb"))
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (cand.crossJoin(F.broadcast(q))
             .where(F.col("qid") != F.col(id_col))
@@ -132,25 +197,63 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("qid", id_col, "ann_rank"))
 
 
+def write_band_index(corpus: DataFrame, path: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     bands: int = DEFAULT_BANDS,
+                     bits: int | None = None,
+                     n_rows: int | None = None) -> DataFrame:
+    """WRITE-TIME half of the banded sign-LSH index: materialize the
+    corpus signature table ``(id, vec, norm, band, key)`` sorted by
+    (band, key) — the cell-id pattern of sources/layout.write_indexed
+    applied to embeddings.  The manifest records (bands, bits) so query
+    time derives its keys from the SAME hyperplane slices.  Returns the
+    read-back table."""
+    from geomesa_spark.sources import sigtable
+
+    bits = _resolve_bits(bits, corpus, n_rows)
+    c = with_band_keys(corpus, vec_col, bands, bits, norm_col="__norm") \
+        .select(id_col, vec_col, "__norm", "band", "key")
+    out = sigtable.materialize(c, path, sort_cols=["band", "key"])
+    sigtable.write_sig_manifest(
+        corpus.sparkSession, path,
+        {"kind": "sign_lsh", "bands": bands, "bits": bits,
+         "id_col": id_col, "vec_col": vec_col, "dim": DIM})
+    return out
+
+
+def read_band_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Read a materialized band index and its manifest (bands/bits)."""
+    from geomesa_spark.sources import sigtable
+
+    return spark.read.parquet(path), sigtable.read_sig_manifest(spark, path)
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              bands: int = DEFAULT_BANDS,
-             bits: int | None = DEFAULT_BITS) -> DataFrame:
+             bits: int | None = DEFAULT_BITS,
+             n_rows: int | None = None,
+             sig_path: str | None = None) -> DataFrame:
     """ANN top-k over banded sign-LSH candidates (scale path).
 
     Candidates = corpus rows sharing >=1 band key with the query (broadcast
     hash join on (band, key)); duplicate band hits are collapsed BEFORE
-    scoring, so each unique candidate pays exactly one dot fold."""
-    # norms hoisted BEFORE the band explode: one fold per vector, not one
-    # per (vector, band) row
-    c = with_band_keys(corpus.withColumn("__na", _norm_col(vec_col)),
-                       vec_col, bands, bits)
-    q = (with_band_keys(queries.withColumn("__nb", _norm_col(vec_col)),
-                        vec_col, bands, bits)
+    scoring, so each unique candidate pays exactly one dot product.
+    ``bits`` is resolved ONCE and shared by both sides (different bits
+    would select different hyperplane slices and the join would produce
+    near-random candidates).  With ``sig_path`` the corpus signature is
+    materialized as a write-time table (write_band_index) and every
+    consumer scans it instead of re-executing the signature lineage."""
+    bits = _resolve_bits(bits, corpus, n_rows)
+    if sig_path is not None:
+        c = write_band_index(corpus, sig_path, id_col, vec_col, bands,
+                             bits).withColumnRenamed("__norm", "__na")
+    else:
+        c = with_band_keys(corpus, vec_col, bands, bits, norm_col="__na")
+    q = (with_band_keys(queries, vec_col, bands, bits, norm_col="__nb")
          .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
                  "__nb", "band", "key"))
-    sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
-           / (F.col("__na") * F.col("__nb")))
+    sim = _dot(vec_col, "qvec") / (F.col("__na") * F.col("__nb"))
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (c.join(F.broadcast(q), ["band", "key"])
             .where(F.col("qid") != F.col(id_col))
@@ -166,21 +269,28 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def near_dup_pairs(corpus: DataFrame, threshold: float = 0.99,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    bands: int = DEFAULT_BANDS,
-                   bits: int | None = DEFAULT_BITS) -> DataFrame:
+                   bits: int | None = DEFAULT_BITS,
+                   n_rows: int | None = None,
+                   sig_path: str | None = None) -> DataFrame:
     """Embedding near-duplicate pairs: banded-LSH candidates + exact refine.
 
     Pairs sharing any band key (duplicates always do: positive scaling
     preserves every hyperplane sign) are deduped FIRST, then refined with
-    exact cosine >= threshold — one dot fold per unique candidate pair,
-    norms precomputed per row.  Output (id_a < id_b, sim_ppm)."""
-    b = with_band_keys(corpus.withColumn("__n", _norm_col(vec_col)),
-                       vec_col, bands, bits)
+    exact cosine >= threshold — one dot product per unique candidate pair,
+    norms precomputed per row.  Output (id_a < id_b, sim_ppm).  With
+    ``sig_path`` the banded signature is a materialized write-time table
+    scanned by BOTH sides of the self-join (one signature pass, not two)."""
+    bits = _resolve_bits(bits, corpus, n_rows)
+    if sig_path is not None:
+        b = write_band_index(corpus, sig_path, id_col, vec_col, bands,
+                             bits).withColumnRenamed("__norm", "__n")
+    else:
+        b = with_band_keys(corpus, vec_col, bands, bits, norm_col="__n")
     la = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
                   F.col("__n").alias("__na"), "band", "key")
     lb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
                   F.col("__n").alias("__nb"), "band", "key")
-    sim = (F.expr(pt.dot_product("vec_a", "vec_b", pt.SPARK))
-           / (F.col("__na") * F.col("__nb")))
+    sim = _dot("vec_a", "vec_b") / (F.col("__na") * F.col("__nb"))
     return (la.join(lb, ["band", "key"])
             .where(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
@@ -306,9 +416,8 @@ def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
             .join(F.broadcast(qdf), "qid")
             .where(F.col("qid") != F.col(id_col))
             .withColumn("__na", _norm_col(vec_col))
-            .withColumn("__nb", F.sqrt(F.expr(pt.dot_product("qvec", "qvec",
-                                                             pt.SPARK))))
-            .withColumn("sim", F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
+            .withColumn("__nb", F.sqrt(_dot("qvec", "qvec")))
+            .withColumn("sim", _dot(vec_col, "qvec")
                         / (F.col("__na") * F.col("__nb"))))
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (cand.withColumn("ann_rank", F.row_number().over(win))
@@ -334,15 +443,13 @@ def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         bands: int = DEFAULT_BANDS,
                         bits: int = DEFAULT_BITS) -> DataFrame:
     """lsh_topk with query-side multiprobe (bits+1 probes per band)."""
-    c = with_band_keys(corpus.withColumn("__na", _norm_col(vec_col)),
-                       vec_col, bands, bits)
+    c = with_band_keys(corpus, vec_col, bands, bits, norm_col="__na")
     q = expand_probes(
-        with_band_keys(queries.withColumn("__nb", _norm_col(vec_col)),
-                       vec_col, bands, bits), bits) \
+        with_band_keys(queries, vec_col, bands, bits, norm_col="__nb"),
+        bits) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
                 "__nb", "band", "key")
-    sim = (F.expr(pt.dot_product(vec_col, "qvec", pt.SPARK))
-           / (F.col("__na") * F.col("__nb")))
+    sim = _dot(vec_col, "qvec") / (F.col("__na") * F.col("__nb"))
     win = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (c.join(F.broadcast(q), ["band", "key"])
             .where(F.col("qid") != F.col(id_col))

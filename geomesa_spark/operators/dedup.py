@@ -131,29 +131,33 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.4,
                       id_col: str = "doc_id", text_col: str = "text",
-                      bands: int = 4) -> DataFrame:
+                      bands: int = 4,
+                      sig_path: str | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard >= threshold.
 
     Signature of 16 mins banded into `bands` rows-per-band groups; docs
     sharing any band key become candidates; candidates are verified against
     the exact shingle-set Jaccard (so precision is exact; recall is the LSH
     banding recall — deterministic, reproduced verbatim by the oracle).
+
+    ONE aggregation produces both the minhash signature AND the shingle
+    set used for exact verification.  With ``sig_path`` that per-doc
+    signature table is MATERIALIZED (sources/sigtable.py) — the write-time
+    artifact of a real deployment — and all three consumers (band explode,
+    verify sides a/b) scan it; without it each consumer re-executes the
+    single-shuffle lineage with its own column pruning (Catalyst cannot
+    share exchanges across differently-pruned consumers).
     """
     rows = pt.MINHASH_K // bands
-    # ONE aggregation produces both the minhash signature AND the shingle
-    # set used for exact verification, so every consumer below (band
-    # explode, verify sides a/b) recomputes the same single-shuffle
-    # lineage with its own column pruning — no second tokenize+window
-    # FORMULATION exists.  (Catalyst cannot share the exchanges across
-    # consumers because pruning differentiates them; in a real deployment
-    # the signature table is a write-time artifact — materialize per_doc
-    # once with layout.write_indexed and all three consumers read it.)
     sh = shingle_set(df, id_col, text_col)
     per_doc = sh.groupBy(id_col).agg(
         *[F.expr(pt.minhash_min("sh", j)).alias(f"m{j}")
           for j in range(pt.MINHASH_K)],
         F.collect_set("sh").alias("shset"),
         F.count("*").alias("n_sh"))
+    if sig_path is not None:
+        from geomesa_spark.sources import sigtable
+        per_doc = sigtable.materialize(per_doc, sig_path, sort_cols=[id_col])
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.concat_ws("-", *[F.col(f"m{b * rows + r}").cast("string")
@@ -218,7 +222,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
-                  bands: int = 4, sig_bits: int = 60) -> DataFrame:
+                  bands: int = 4, sig_bits: int = 60,
+                  sig_path: str | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= ``max_hamming``.
 
     Pigeonhole banding: the signature split into ``bands`` equal bands —
@@ -241,6 +246,12 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
             f"hamming <= {bands - 1}")
     width = sig_bits // bands
     sig = simhash(df, id_col, text_col, bits=sig_bits, mix=True)
+    if sig_path is not None:
+        # write-time signature table: both sides of the band self-join
+        # scan the materialized (id, simhash) parquet instead of each
+        # re-executing the tokenize + bit-vote lineage
+        from geomesa_spark.sources import sigtable
+        sig = sigtable.materialize(sig, sig_path, sort_cols=[id_col])
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.shiftright("simhash", b * width)

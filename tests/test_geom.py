@@ -207,6 +207,40 @@ class TestDifference:
         with _pytest.raises(ValueError):
             relate.difference(a, holed)
 
+    def test_holed_minuend_subtracts_hole(self):
+        """r2 VERDICT #1: holes in the MINUEND must be subtracted, not
+        silently included.  (shell - hole) - B, checked by area."""
+        from geomesa_spark.geom import algos, relate, wkt
+        a = wkt.wkt_loads(
+            "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0),"
+            " (4 4, 6 4, 6 6, 4 6, 4 4))")   # area 100 - 4 = 96
+        # subtrahend disjoint from the hole
+        b = wkt.wkt_loads("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")
+        d = relate.difference(a, b)
+        assert abs(algos.area(d) - 92.0) < 1e-9
+        # subtrahend overlapping the hole: overlap area counted once
+        b2 = wkt.wkt_loads("POLYGON((5 5, 8 5, 8 8, 5 8, 5 5))")
+        # b2 area 9, of which 1 sits inside the hole -> removes 8 more
+        d2 = relate.difference(a, b2)
+        assert abs(algos.area(d2) - 88.0) < 1e-9
+        # non-convex hole
+        a3 = wkt.wkt_loads(
+            "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0),"
+            " (1 1, 4 1, 4 2, 2 2, 2 4, 1 4, 1 1))")  # L-hole area 5
+        d3 = relate.difference(a3, wkt.wkt_loads(
+            "POLYGON((8 8, 9 8, 9 9, 8 9, 8 8))"))
+        assert abs(algos.area(d3) - 94.0) < 1e-9
+
+    def test_holed_minuend_in_st_difference(self):
+        """Holed minuend whose hole and subtrahend both clip the shell."""
+        from geomesa_spark.geom import algos, relate, wkt
+        a = wkt.wkt_loads(
+            "POLYGON((0 0, 0 8, 8 8, 8 0, 0 0), (3 3, 5 3, 5 5, 3 5, 3 3))")
+        b = wkt.wkt_loads("POLYGON((-1 -1, 1 -1, 1 1, -1 1, -1 -1))")
+        d = relate.difference(a, b)
+        # 64 - 4 (hole) - 1 (corner overlap) = 59
+        assert abs(algos.area(d) - 59.0) < 1e-9
+
     def test_line_and_point_minunds(self):
         from geomesa_spark.geom import relate, wkt
         box = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")

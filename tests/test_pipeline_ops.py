@@ -220,3 +220,43 @@ def test_simhash_pairs_recover_exact_dups(corpus):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dedup.simhash_pairs(corpus, max_hamming=5, bands=4)
+
+
+def test_lsh_scoring_stage_has_no_interpreted_folds(spark, sf_dir):
+    """The ANN scoring/key plans must contain NO Catalyst higher-order
+    lambdas (aggregate/transform/zip_with are interpreted, not codegen):
+    signatures come from the Arrow kernel, scoring from the single
+    unrolled native dot product."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in plan.lower()
+    out2 = ann.cosine_topk(embs, embs.where("vec_id < 5"), k=5)
+    plan2 = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in plan2.lower()
+
+
+def test_band_index_roundtrip_and_two_sided_bits(spark, sf_dir, tmp_path):
+    """write_band_index materializes (id, vec, norm, band, key) with a
+    manifest; lsh_topk over the index returns the same rows as the inline
+    path, and auto-scaled bits resolve ONCE for both join sides."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "bandix")
+    idx = ann.write_band_index(embs, path, bits=8)
+    assert set(["vec_id", "embedding", "__norm", "band", "key"]) \
+        <= set(idx.columns)
+    _, manifest = ann.read_band_index(spark, path)
+    assert manifest["bands"] == ann.DEFAULT_BANDS and manifest["bits"] == 8
+
+    inline = {tuple(r) for r in
+              ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5).collect()}
+    stored = {tuple(r) for r in
+              ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5,
+                           sig_path=str(tmp_path / "bandix2")).collect()}
+    assert inline == stored
+
+    # bits=None auto-scaling must produce IDENTICAL keys on both sides:
+    # recall of exact duplicates is 1 at any bits, so the planted
+    # duplicate pairs must appear even when bits is auto-resolved
+    auto = ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5, bits=None)
+    assert auto.count() > 0
