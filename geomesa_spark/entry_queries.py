@@ -405,6 +405,7 @@ Q_MIN_MAX_TIME_SQL = ("SELECT cast(epoch(min(ts)) as bigint) AS min_ts, "
 # ---------------------------------------------------------------------------
 
 from geomesa_spark.entry_queries_pipeline import PIPELINE_QUERIES
+from geomesa_spark.entry_queries_planner import PLANNER_QUERIES
 from geomesa_spark.entry_queries_processes import PROCESS_QUERIES
 
 QUERIES = {
@@ -425,4 +426,5 @@ QUERIES = {
     "min_max_time": (q_min_max_time, Q_MIN_MAX_TIME_SQL),
     **PIPELINE_QUERIES,
     **PROCESS_QUERIES,
+    **PLANNER_QUERIES,
 }

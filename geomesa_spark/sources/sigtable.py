@@ -33,10 +33,12 @@ CACHE_ROOT = os.environ.get(
 SIG_MANIFEST = "_sig_manifest.json"
 
 
-def cache_path(name: str, sf_dir: str) -> str:
-    """Deterministic signature-table location for an operator + dataset."""
+def cache_path(name: str, sf_dir: str, kind: str = "sigs") -> str:
+    """Deterministic cached-table location for an operator + dataset
+    (``kind``: 'sigs' for signature tables, 'layouts' for indexed
+    layouts written by the planner-path queries)."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "data"
-    return os.path.join(CACHE_ROOT, "sigs", f"{name}_{tag}")
+    return os.path.join(CACHE_ROOT, kind, f"{name}_{tag}")
 
 
 def materialize(df: DataFrame, path: str,
