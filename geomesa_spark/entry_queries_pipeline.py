@@ -70,8 +70,10 @@ FROM corpus GROUP BY md5(text) HAVING count(*) > 1
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index self-join."""
-    return dedup.jaccard_pairs(docsrc.corpus(spark, sf_dir), threshold=0.5)
+    """Exact 3-gram Jaccard pairs >= 0.5 via inverted-index self-join over
+    the materialized shingle-set table (one tokenize pass, 4 consumers)."""
+    return dedup.jaccard_pairs(docsrc.corpus(spark, sf_dir), threshold=0.5,
+                               sig_path=cache_path("shingles", sf_dir))
 
 
 # mirrors jaccard_pairs' default stop-shingle cap (dedup.DEFAULT_MAX_DF):

@@ -158,6 +158,8 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
     elif 32601 <= s <= 32660 or 32701 <= s <= 32760:
         lon, lat = utm_inverse_exprs(F.col(x_col), F.col(y_col),
                                      s % 100, south=s >= 32701)
+    elif s in CRS_REGISTRY:
+        lon, lat = CRS_REGISTRY[s].inverse(F.col(x_col), F.col(y_col))
     else:
         raise ValueError(f"unsupported source CRS: {src}")
     # lon/lat to target
@@ -167,6 +169,230 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
         ox, oy = to_mercator_x(lon), to_mercator_y(lat)
     elif 32601 <= d <= 32660 or 32701 <= d <= 32760:
         ox, oy = utm_exprs(lon, lat, d % 100, south=d >= 32701)
+    elif d in CRS_REGISTRY:
+        ox, oy = CRS_REGISTRY[d].forward(lon, lat)
     else:
         raise ValueError(f"unsupported target CRS: {dst}")
     return df.withColumn(out_x, ox).withColumn(out_y, oy)
+
+
+# ---------------------------------------------------------------------------
+# Conic + polar projection families (EPSG methods 9802 / 9822 / 9829) —
+# the remaining arbitrary-CRS surface of QueryPlanner.scala:297-301's
+# result reprojection.  All formulas are the published EPSG Guidance Note
+# 7-2 / Snyder forms; constants are computed driver-side in python floats,
+# the per-row math is native Catalyst arithmetic (whole-stage codegen).
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _e_of(f: float) -> float:
+    return _math.sqrt(f * (2.0 - f))
+
+
+def _m_const(phi: float, e: float) -> float:
+    return _math.cos(phi) / _math.sqrt(1 - (e * _math.sin(phi)) ** 2)
+
+
+def _t_const(phi: float, e: float) -> float:
+    s = _math.sin(phi)
+    return (_math.tan(_math.pi / 4 - phi / 2)
+            / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+
+def _q_const(phi: float, e: float) -> float:
+    s = _math.sin(phi)
+    return (1 - e * e) * (s / (1 - e * e * s * s)
+                          - (1 / (2 * e)) * _math.log((1 - e * s) / (1 + e * s)))
+
+
+def _t_col(phi: Column, e: float) -> Column:
+    s = F.sin(phi)
+    return (F.tan(F.lit(_math.pi / 4) - phi / 2)
+            / F.pow((1.0 - e * s) / (1.0 + e * s), F.lit(e / 2)))
+
+
+def _q_col(phi: Column, e: float) -> Column:
+    s = F.sin(phi)
+    return F.lit(1 - e * e) * (
+        s / (1.0 - (e * e) * s * s)
+        - F.lit(1 / (2 * e)) * F.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+class LambertConformal2SP:
+    """EPSG method 9802 (Lambert Conic Conformal 2SP)."""
+
+    def __init__(self, a: float, f: float, phi1: float, phi2: float,
+                 phi0: float, lam0: float, fe: float, fn: float):
+        self.a, self.e = a, _e_of(f)
+        self.lam0, self.fe, self.fn = _math.radians(lam0), fe, fn
+        p1, p2, p0 = (_math.radians(p) for p in (phi1, phi2, phi0))
+        m1, m2 = _m_const(p1, self.e), _m_const(p2, self.e)
+        t1, t2, t0 = (_t_const(p, self.e) for p in (p1, p2, p0))
+        self.n = (_math.log(m1) - _math.log(m2)) / (_math.log(t1) - _math.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.r0 = a * self.F * t0 ** self.n
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi, lam = F.radians(lat), F.radians(lon)
+        r = F.lit(self.a * self.F) * F.pow(_t_col(phi, self.e), F.lit(self.n))
+        theta = F.lit(self.n) * (lam - self.lam0)
+        return (F.lit(self.fe) + r * F.sin(theta),
+                F.lit(self.fn + self.r0) - r * F.cos(theta))
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        dx = x - F.lit(self.fe)
+        dy = F.lit(self.r0) - (y - F.lit(self.fn))
+        sgn = 1.0 if self.n >= 0 else -1.0
+        rp = F.lit(sgn) * F.sqrt(dx * dx + dy * dy)
+        tp = F.pow(rp / F.lit(self.a * self.F), F.lit(1.0 / self.n))
+        theta = F.atan2(F.lit(sgn) * dx, F.lit(sgn) * dy)
+        lam = theta / F.lit(self.n) + F.lit(self.lam0)
+        # fixed-point latitude recovery: 6 unrolled iterations converge to
+        # double precision for |phi| < 89.9
+        phi = F.lit(_math.pi / 2) - 2.0 * F.atan(tp)
+        for _ in range(6):
+            s = F.sin(phi)
+            phi = F.lit(_math.pi / 2) - 2.0 * F.atan(
+                tp * F.pow((1.0 - self.e * s) / (1.0 + self.e * s),
+                           F.lit(self.e / 2)))
+        return F.degrees(lam), F.degrees(phi)
+
+
+class AlbersEqualArea:
+    """EPSG method 9822 (Albers Equal Area conic)."""
+
+    def __init__(self, a: float, f: float, phi1: float, phi2: float,
+                 phi0: float, lam0: float, fe: float, fn: float):
+        self.a, self.e = a, _e_of(f)
+        e = self.e
+        self.lam0, self.fe, self.fn = _math.radians(lam0), fe, fn
+        p1, p2, p0 = (_math.radians(p) for p in (phi1, phi2, phi0))
+        m1, m2 = _m_const(p1, e), _m_const(p2, e)
+        q1, q2, q0 = (_q_const(p, e) for p in (p1, p2, p0))
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * _math.sqrt(self.C - self.n * q0) / self.n
+        self.qp = 1 - ((1 - e * e) / (2 * e)) * _math.log((1 - e) / (1 + e))
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi, lam = F.radians(lat), F.radians(lon)
+        q = _q_col(phi, self.e)
+        rho = F.lit(self.a) * F.sqrt(F.lit(self.C) - F.lit(self.n) * q) \
+            / F.lit(self.n)
+        theta = F.lit(self.n) * (lam - self.lam0)
+        return (F.lit(self.fe) + rho * F.sin(theta),
+                F.lit(self.fn + self.rho0) - rho * F.cos(theta))
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        e, e2 = self.e, self.e * self.e
+        dx = x - F.lit(self.fe)
+        dy = F.lit(self.rho0) - (y - F.lit(self.fn))
+        rho = F.sqrt(dx * dx + dy * dy)
+        qp_col = (F.lit(self.C)
+                  - rho * rho * F.lit(self.n * self.n / (self.a * self.a))) \
+            / F.lit(self.n)
+        beta = F.asin(qp_col / F.lit(self.qp))
+        # authalic -> geodetic latitude: Snyder 3-18 series seed (error
+        # O(e^8) ~ 1e-7 deg) + two unrolled Newton steps on q(phi) = q'
+        # (dq/dphi = 2(1-e^2)cos(phi)/(1-e^2 sin^2 phi)^2) -> double
+        # precision
+        phi = (beta
+               + F.lit(e2 / 3 + 31 * e2 ** 2 / 180 + 517 * e2 ** 3 / 5040)
+               * F.sin(2.0 * beta)
+               + F.lit(23 * e2 ** 2 / 360 + 251 * e2 ** 3 / 3780)
+               * F.sin(4.0 * beta)
+               + F.lit(761 * e2 ** 3 / 45360) * F.sin(6.0 * beta))
+        for _ in range(2):
+            s = F.sin(phi)
+            denom = 1.0 - e2 * s * s
+            phi = phi + (qp_col - _q_col(phi, e)) * denom * denom \
+                / (F.lit(2 * (1 - e2)) * F.cos(phi))
+        theta = F.atan2(dx, dy)
+        lam = theta / F.lit(self.n) + F.lit(self.lam0)
+        return F.degrees(lam), F.degrees(phi)
+
+
+class PolarStereographicB:
+    """EPSG method 9829 (Polar Stereographic variant B: latitude of
+    standard parallel + longitude of origin)."""
+
+    def __init__(self, a: float, f: float, phi_f: float, lam0: float,
+                 fe: float, fn: float):
+        self.a, self.e = a, _e_of(f)
+        e = self.e
+        self.south = phi_f < 0
+        self.lam0, self.fe, self.fn = _math.radians(lam0), fe, fn
+        pf = _math.radians(abs(phi_f))
+        mf = _m_const(pf, e)
+        tf = _t_const(pf, e)
+        self.big = _math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+        self.k0 = mf * self.big / (2 * tf)
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon)
+        # fold the south case onto the north formulas by mirroring lat
+        phi = F.radians(lat)
+        if self.south:
+            phi = -phi
+        t = _t_col(phi, self.e)
+        rho = F.lit(2 * self.a * self.k0 / self.big) * t
+        theta = lam - F.lit(self.lam0)
+        if self.south:
+            # south: theta measured from the 0-meridian with N increasing
+            # toward lam0 (E = rho sin, N = +rho cos)
+            return (F.lit(self.fe) + rho * F.sin(theta),
+                    F.lit(self.fn) + rho * F.cos(theta))
+        return (F.lit(self.fe) + rho * F.sin(theta),
+                F.lit(self.fn) - rho * F.cos(theta))
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        e, e2 = self.e, self.e * self.e
+        dx = x - F.lit(self.fe)
+        dy = y - F.lit(self.fn)
+        rho = F.sqrt(dx * dx + dy * dy)
+        tp = rho * F.lit(self.big / (2 * self.a * self.k0))
+        chi = F.lit(_math.pi / 2) - 2.0 * F.atan(tp)
+        # conformal -> geodetic latitude series (Snyder 3-5)
+        phi = (chi
+               + F.lit(e2 / 2 + 5 * e2 ** 2 / 24 + e2 ** 3 / 12
+                       + 13 * e2 ** 4 / 360) * F.sin(2.0 * chi)
+               + F.lit(7 * e2 ** 2 / 48 + 29 * e2 ** 3 / 240
+                       + 811 * e2 ** 4 / 11520) * F.sin(4.0 * chi)
+               + F.lit(7 * e2 ** 3 / 120 + 81 * e2 ** 4 / 1120)
+               * F.sin(6.0 * chi)
+               + F.lit(4279 * e2 ** 4 / 161280) * F.sin(8.0 * chi))
+        if self.south:
+            lam = F.lit(self.lam0) + F.atan2(dx, dy)
+            return F.degrees(lam), F.degrees(-phi)
+        lam = F.lit(self.lam0) + F.atan2(dx, -dy)
+        return F.degrees(lam), F.degrees(phi)
+
+
+# parameterized CRS registry (published EPSG definitions); extensible via
+# register_crs for state-plane zones etc.
+CRS_REGISTRY: dict[int, object] = {
+    # RGF93 / Lambert-93 (France)
+    2154: LambertConformal2SP(GRS80_A, GRS80_F, 49.0, 44.0, 46.5, 3.0,
+                              700_000.0, 6_600_000.0),
+    # NAD83 / Canada Atlas Lambert
+    3978: LambertConformal2SP(GRS80_A, GRS80_F, 49.0, 77.0, 49.0, -95.0,
+                              0.0, 0.0),
+    # NAD83 / Conus Albers
+    5070: AlbersEqualArea(GRS80_A, GRS80_F, 29.5, 45.5, 23.0, -96.0,
+                          0.0, 0.0),
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: PolarStereographicB(WGS84_A, WGS84_F, -71.0, 0.0, 0.0, 0.0),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    3413: PolarStereographicB(WGS84_A, WGS84_F, 70.0, -45.0, 0.0, 0.0),
+}
+
+
+def register_crs(epsg: int, projection) -> None:
+    """Register a parameterized projection (forward/inverse column pairs)
+    for an EPSG code — the extension point for state-plane zones."""
+    CRS_REGISTRY[int(epsg)] = projection

@@ -86,7 +86,8 @@ DEFAULT_MAX_DF = 10_000
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                   id_col: str = "doc_id", text_col: str = "text",
-                  max_df: int | None = DEFAULT_MAX_DF) -> DataFrame:
+                  max_df: int | None = DEFAULT_MAX_DF,
+                  sig_path: str | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Returns (id_a < id_b, jac) with jac >= threshold.  Shingles appearing in
@@ -98,6 +99,12 @@ def jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     all-shingles semantics, unsafe at corpus scale).
     """
     sh = shingle_set(df, id_col, text_col)
+    if sig_path is not None:
+        # the shingle set feeds FOUR consumers (hot-shingle pass, sizes,
+        # both inverted-index join sides): materialize it once as the
+        # write-time artifact and let every consumer scan the parquet
+        from geomesa_spark.sources import sigtable
+        sh = sigtable.materialize(sh, sig_path, sort_cols=["sh"])
     if max_df is not None:
         hot = (sh.groupBy("sh").count()
                .where(F.col("count") > max_df).select("sh"))

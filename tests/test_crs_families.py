@@ -1,0 +1,173 @@
+"""Conic / polar CRS family tests (EPSG 9802 / 9822 / 9829).
+
+No pyproj ships in this container, so correctness rests on properties that
+pin each projection family uniquely:
+
+* natural-origin exactness: forward(origin) == (FE, FN) to sub-mm,
+* round-trip: inverse(forward(p)) == p to 1e-8 deg across the usage domain,
+* differential geometry via finite differences against the ellipsoid's
+  meridian/parallel radii: conformal families must be isotropic
+  (k_meridian == k_parallel) with k == 1 on the standard parallel(s);
+  the equal-area family must satisfy h*k == 1 everywhere.
+
+Reference parity: QueryPlanner.scala:297-301 delegates arbitrary-CRS
+result reprojection to GeoTools; these families + the registry cover the
+dominant projected systems (Lambert-93, Canada Lambert, CONUS Albers,
+polar stereographic) natively.
+"""
+
+import math
+
+import pytest
+
+from geomesa_spark.functions import crs
+
+
+def _project(spark, proj, pts):
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = proj.forward(df.lon, df.lat)
+    rows = df.select(x.alias("x"), y.alias("y")).collect()
+    return [(r.x, r.y) for r in rows]
+
+
+def _unproject(spark, proj, pts):
+    df = spark.createDataFrame(pts, "x double, y double")
+    lon, lat = proj.inverse(df.x, df.y)
+    rows = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+    return [(r.lon, r.lat) for r in rows]
+
+
+def _radii(a, f, lat_deg):
+    e2 = f * (2 - f)
+    s = math.sin(math.radians(lat_deg))
+    m = a * (1 - e2) / (1 - e2 * s * s) ** 1.5       # meridian radius
+    n = a / math.sqrt(1 - e2 * s * s)                # prime vertical
+    return m, n
+
+
+def _scales(spark, proj, a, f, lon, lat, d=1e-6):
+    """(k_meridian, k_parallel) by finite differences."""
+    (x0, y0), (xm, ym), (xp, yp) = _project(
+        spark, proj, [(lon, lat), (lon, lat + d), (lon + d, lat)])
+    m, n = _radii(a, f, lat)
+    drad = math.radians(d)
+    k_mer = math.hypot(xm - x0, ym - y0) / (m * drad)
+    k_par = math.hypot(xp - x0, yp - y0) / (n * math.cos(math.radians(lat)) * drad)
+    return k_mer, k_par
+
+
+LCC = crs.CRS_REGISTRY[2154]
+ALBERS = crs.CRS_REGISTRY[5070]
+PS_S = crs.CRS_REGISTRY[3031]
+PS_N = crs.CRS_REGISTRY[3413]
+
+
+class TestLambertConformal:
+    def test_natural_origin_is_false_origin(self, spark):
+        [(x, y)] = _project(spark, LCC, [(3.0, 46.5)])
+        assert abs(x - 700_000.0) < 1e-3 and abs(y - 6_600_000.0) < 1e-3
+
+    def test_roundtrip(self, spark):
+        pts = [(lon, lat) for lon in (-4.5, 0.0, 3.0, 7.8)
+               for lat in (41.5, 44.0, 46.5, 49.0, 51.0)]
+        out = _unproject(spark, LCC, _project(spark, LCC, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_conformal_and_unit_scale_on_standard_parallels(self, spark):
+        for lat in (44.0, 49.0):          # standard parallels: k == 1
+            km, kp = _scales(spark, LCC, crs.GRS80_A, crs.GRS80_F, 2.0, lat)
+            assert abs(km - 1.0) < 1e-4 and abs(kp - 1.0) < 1e-4
+        # between the parallels: k < 1 but still isotropic (conformal)
+        km, kp = _scales(spark, LCC, crs.GRS80_A, crs.GRS80_F, 2.0, 46.5)
+        assert abs(km - kp) < 1e-4 and km < 1.0
+
+    def test_reproject_dispatch(self, spark):
+        df = spark.createDataFrame([(3.0, 46.5), (2.35, 48.85)],
+                                   "x double, y double")
+        out = crs.reproject(df, 4326, 2154).collect()
+        assert abs(out[0].x2 - 700_000.0) < 1e-3
+        back = crs.reproject(
+            crs.reproject(df, 4326, 2154).select(
+                out_df_cols("x2", "y2")), 2154, 4326).collect()
+        assert abs(back[1].x2 - 2.35) < 1e-8
+        assert abs(back[1].y2 - 48.85) < 1e-8
+
+
+def out_df_cols(xc, yc):
+    from pyspark.sql import functions as F
+    return [F.col(xc).alias("x"), F.col(yc).alias("y")]
+
+
+class TestAlbers:
+    def test_natural_origin(self, spark):
+        [(x, y)] = _project(spark, ALBERS, [(-96.0, 23.0)])
+        assert abs(x) < 1e-3 and abs(y) < 1e-3
+
+    def test_roundtrip(self, spark):
+        pts = [(lon, lat) for lon in (-120.0, -96.0, -75.0)
+               for lat in (24.0, 29.5, 37.0, 45.5, 49.0)]
+        out = _unproject(spark, ALBERS, _project(spark, ALBERS, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_equal_area_and_standard_parallels(self, spark):
+        # h*k == 1 everywhere (equal-area), k_par == 1 on both parallels
+        for lat in (29.5, 45.5):
+            km, kp = _scales(spark, ALBERS, crs.GRS80_A, crs.GRS80_F,
+                             -100.0, lat)
+            assert abs(kp - 1.0) < 1e-4 and abs(km * kp - 1.0) < 1e-4
+        km, kp = _scales(spark, ALBERS, crs.GRS80_A, crs.GRS80_F, -90.0, 38.0)
+        assert abs(km * kp - 1.0) < 1e-4 and abs(kp - 1.0) > 1e-5
+
+
+class TestPolarStereographic:
+    def test_pole_is_false_origin(self, spark):
+        [(x, y)] = _project(spark, PS_S, [(0.0, -90.0)])
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
+        [(x, y)] = _project(spark, PS_N, [(-45.0, 90.0)])
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
+
+    def test_roundtrip_south(self, spark):
+        pts = [(lon, lat) for lon in (-150.0, -30.0, 0.0, 60.0, 179.0)
+               for lat in (-89.0, -80.0, -71.0, -60.0)]
+        out = _unproject(spark, PS_S, _project(spark, PS_S, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            dl = (lon - lon2 + 180.0) % 360.0 - 180.0
+            assert abs(dl) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_roundtrip_north(self, spark):
+        pts = [(lon, lat) for lon in (-135.0, -45.0, 0.0, 90.0)
+               for lat in (60.0, 70.0, 85.0, 89.5)]
+        out = _unproject(spark, PS_N, _project(spark, PS_N, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            dl = (lon - lon2 + 180.0) % 360.0 - 180.0
+            assert abs(dl) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_unit_scale_on_standard_parallel_and_conformal(self, spark):
+        km, kp = _scales(spark, PS_S, crs.WGS84_A, crs.WGS84_F, 45.0, -71.0)
+        assert abs(km - 1.0) < 1e-4 and abs(kp - 1.0) < 1e-4
+        km, kp = _scales(spark, PS_S, crs.WGS84_A, crs.WGS84_F, 10.0, -80.0)
+        assert abs(km - kp) < 1e-4
+        km, kp = _scales(spark, PS_N, crs.WGS84_A, crs.WGS84_F, 30.0, 70.0)
+        assert abs(km - 1.0) < 1e-4 and abs(kp - 1.0) < 1e-4
+
+
+class TestRegistry:
+    def test_register_crs_extension(self, spark):
+        # a state-plane-style custom LCC zone registers and dispatches
+        zone = crs.LambertConformal2SP(crs.GRS80_A, crs.GRS80_F,
+                                       34.0, 36.0, 33.75, -79.0,
+                                       609601.22, 0.0)
+        crs.register_crs(999901, zone)
+        try:
+            df = spark.createDataFrame([(-79.0, 33.75)], "x double, y double")
+            out = crs.reproject(df, 4326, 999901).collect()
+            assert abs(out[0].x2 - 609601.22) < 1e-3 and abs(out[0].y2) < 1e-3
+        finally:
+            crs.CRS_REGISTRY.pop(999901, None)
+
+    def test_unknown_crs_raises(self, spark):
+        df = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
+        with pytest.raises(ValueError):
+            crs.reproject(df, 4326, 123456)

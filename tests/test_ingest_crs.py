@@ -137,8 +137,10 @@ def test_utm_south_and_dispatch(spark):
     # Wellington NZ ~ zone 60S
     out = crs.reproject(df, 4326, 32760, out_x="e", out_y="n").collect()[0]
     assert 0 < out.e < 1_000_000 and 0 < out.n < 10_000_000
+    # Lambert-93 is now a registered family (test_crs_families.py);
+    # unknown codes still fail loud
     with pytest.raises(ValueError):
-        crs.reproject(df, 4326, 2154)  # Lambert93: not supported, loud
+        crs.reproject(df, 4326, 999999)
 
 
 def test_infer_fixed_width(spark, tmp_path):
