@@ -111,11 +111,19 @@ def to_gml_features(df: DataFrame, type_name: str = "feature",
     return df.withColumn("gml", gml)
 
 
-def write_gml(df: DataFrame, path: str, **kwargs) -> None:
+def write_gml(df: DataFrame, path: str, max_features: int = 100_000,
+              **kwargs) -> None:
     """Single GML document (driver-assembled header/footer; body parts
     written distributed then concatenated is the scale path — for bounded
-    exports we collect, like the reference's streaming exporter)."""
-    frags = to_gml_features(df, **kwargs).select("gml").collect()
+    exports we collect, like the reference's streaming exporter).
+
+    Bounded by ``max_features`` like its leaflet/shapefile siblings: an
+    unbounded collect of a big table would OOM the driver.  Pass
+    ``max_features=None`` only for driver-sized frames."""
+    feats = to_gml_features(df, **kwargs).select("gml")
+    if max_features is not None:
+        feats = feats.limit(max_features)
+    frags = feats.collect()
     with open(path, "w") as f:
         f.write(GML_HEADER)
         for r in frags:

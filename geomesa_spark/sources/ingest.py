@@ -69,7 +69,10 @@ def _promote_and_spec(spark: SparkSession, df: DataFrame,
                 ts_cols.append(field.name)
 
     for c in ts_cols:
-        df = df.withColumn(c, F.to_timestamp(c))
+        # backtick-quote: flattened nested columns carry literal dots
+        # (props.dtg) and an unquoted reference would resolve as struct
+        # access against a struct that no longer exists
+        df = df.withColumn(c, F.to_timestamp(F.col(f"`{c}`")))
 
     parts = []
     starred = False

@@ -73,6 +73,8 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
     manifest = {
         "period": period, "lon_col": lon_col, "lat_col": lat_col,
         "ts_col": ts_col, "n_salts": n_salts, "format": fmt, "cell": cell,
+        # record WHICH key salted the rows so appends stay consistent
+        "salt_key": (id_col if id_col else lon_col) if n_salts > 0 else None,
         "columns": df.columns,
     }
     _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))
@@ -114,7 +116,11 @@ def append_indexed(df: DataFrame, path: str) -> None:
     else:
         out = out.withColumn("time_bin", F.lit(0))
     if manifest.get("n_salts", 0) > 0:
-        out = out.withColumn("salt", salt_col(F.col(manifest["lon_col"]),
+        # salt by the SAME key the original write used (id_col when one
+        # was configured) — older manifests without salt_key fall back to
+        # the historical lon_col behavior
+        key = manifest.get("salt_key") or manifest["lon_col"]
+        out = out.withColumn("salt", salt_col(F.col(key),
                                               manifest["n_salts"]))
     out = out.sortWithinPartitions(manifest.get("cell", "z2"))
     out.write.mode("append").partitionBy("time_bin") \

@@ -95,3 +95,11 @@ def test_gml2_variant(geo):
     lonlat = frag.split("<gml:coordinates>")[1].split("</gml:coordinates>")[0]
     lon, lat = map(float, lonlat.split(","))
     assert -180 <= lon <= 180 and -90 <= lat <= 90
+
+
+def test_gml_bounded_by_max_features(geo, tmp_path):
+    """write_gml must bound its driver collect like its siblings."""
+    path = str(tmp_path / "bounded.gml")
+    export.write_gml(geo, path, max_features=3)
+    text = open(path).read()
+    assert text.count("<gml:featureMember>") == 3

@@ -173,3 +173,20 @@ def test_shapefile_round_trip(spark, sf_dir, tmp_path):
         s = src[int(r.event_id)]
         assert r.event_type == s.event_type
         assert abs(r.lon - s.lon) < 1e-12 and abs(r.lat - s.lat) < 1e-12
+
+
+def test_infer_json_nested_timestamp_promotion(spark, tmp_path):
+    """Flattened nested columns carry literal dots (props.dtg); the
+    timestamp promotion must backtick-quote them instead of resolving
+    struct access against a struct that no longer exists."""
+    from geomesa_spark.sources.ingest import infer_json
+    p = tmp_path / "nested_ts.json"
+    p.write_text(
+        '{"id": 1, "props": {"dtg": "2024-03-01 12:00:00", "tag": "a"}}\n'
+        '{"id": 2, "props": {"dtg": "2024-03-02 13:30:00", "tag": "b"}}\n')
+    df, spec = infer_json(spark, str(p))
+    field = dict(zip(df.columns, [f.dataType.simpleString()
+                                  for f in df.schema.fields]))
+    assert field["props.dtg"] == "timestamp"
+    rows = df.orderBy("id").collect()
+    assert rows[0]["props.dtg"].day == 1 and rows[1]["props.dtg"].hour == 13

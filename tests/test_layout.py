@@ -216,3 +216,27 @@ class TestSchemaEvolution:
             .drop("event_type")
         with pytest.raises(ValueError, match="add-only"):
             append_indexed(bad, path)
+
+
+def test_append_salts_by_recorded_key(spark, tmp_path):
+    """append_indexed must salt by the SAME key write_indexed used
+    (id_col when configured), recorded in the manifest."""
+    from geomesa_spark.functions.cell_functions import salt_col
+    from geomesa_spark.sources import layout as lay
+    df = spark.createDataFrame(
+        [(i, -50.0 + i, 10.0 + i * 0.1) for i in range(20)],
+        "fid long, lon double, lat double")
+    path = str(tmp_path / "salted")
+    lay.write_indexed(df, path, id_col="fid", n_salts=4, ts_col="none")
+    manifest = lay.read_manifest(spark, path)
+    assert manifest["salt_key"] == "fid"
+    extra = spark.createDataFrame(
+        [(100 + i, 20.0 + i, -5.0) for i in range(5)],
+        "fid long, lon double, lat double")
+    lay.append_indexed(extra, path)
+    got = lay.read_indexed(spark, path).where(F.col("fid") >= 100) \
+        .select("fid", "salt").collect()
+    expect = {r.fid: r.s for r in
+              extra.select("fid", salt_col(F.col("fid"), 4).alias("s"))
+              .collect()}
+    assert all(expect[r.fid] == r.salt for r in got)
