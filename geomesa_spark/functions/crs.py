@@ -373,6 +373,65 @@ class PolarStereographicB:
         return F.degrees(lam), F.degrees(phi)
 
 
+class LambertAzimuthalEqualArea:
+    """EPSG method 9820 (Lambert Azimuthal Equal Area, oblique aspect)."""
+
+    def __init__(self, a: float, f: float, phi0: float, lam0: float,
+                 fe: float, fn: float):
+        self.a, self.e = a, _e_of(f)
+        e = self.e
+        self.lam0, self.fe, self.fn = _math.radians(lam0), fe, fn
+        p0 = _math.radians(phi0)
+        self.qp = 1 - ((1 - e * e) / (2 * e)) * _math.log((1 - e) / (1 + e))
+        q0 = _q_const(p0, e)
+        self.beta0 = _math.asin(q0 / self.qp)
+        self.rq = a * _math.sqrt(self.qp / 2)
+        m0 = _m_const(p0, e)
+        self.D = a * m0 / (self.rq * _math.cos(self.beta0))
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi, lam = F.radians(lat), F.radians(lon)
+        beta = F.asin(_q_col(phi, self.e) / F.lit(self.qp))
+        dlam = lam - F.lit(self.lam0)
+        sb0, cb0 = _math.sin(self.beta0), _math.cos(self.beta0)
+        B = F.lit(self.rq) * F.sqrt(
+            2.0 / (1.0 + F.lit(sb0) * F.sin(beta)
+                   + F.lit(cb0) * F.cos(beta) * F.cos(dlam)))
+        x = F.lit(self.fe) + B * F.lit(self.D) * F.cos(beta) * F.sin(dlam)
+        y = F.lit(self.fn) + (B / F.lit(self.D)) * (
+            F.lit(cb0) * F.sin(beta)
+            - F.lit(sb0) * F.cos(beta) * F.cos(dlam))
+        return x, y
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        e, e2 = self.e, self.e * self.e
+        sb0, cb0 = _math.sin(self.beta0), _math.cos(self.beta0)
+        dx = (x - F.lit(self.fe)) / F.lit(self.D)
+        dy = (y - F.lit(self.fn)) * F.lit(self.D)
+        rho = F.sqrt(dx * dx + dy * dy)
+        C = 2.0 * F.asin(rho / F.lit(2 * self.rq))
+        # guard the origin (rho = 0): the dy/rho term tends to 0 there
+        frac = F.when(rho > 0, dy * F.sin(C) * F.lit(cb0) / rho)             .otherwise(F.lit(0.0))
+        beta = F.asin(F.cos(C) * F.lit(sb0) + frac)
+        lam = F.lit(self.lam0) + F.atan2(
+            dx * F.sin(C),
+            rho * F.lit(cb0) * F.cos(C) - dy * F.lit(sb0) * F.sin(C))
+        # authalic -> geodetic: series seed + two Newton steps on q(phi)
+        qc = F.sin(beta) * F.lit(self.qp)
+        phi = (beta
+               + F.lit(e2 / 3 + 31 * e2 ** 2 / 180 + 517 * e2 ** 3 / 5040)
+               * F.sin(2.0 * beta)
+               + F.lit(23 * e2 ** 2 / 360 + 251 * e2 ** 3 / 3780)
+               * F.sin(4.0 * beta)
+               + F.lit(761 * e2 ** 3 / 45360) * F.sin(6.0 * beta))
+        for _ in range(2):
+            sph = F.sin(phi)
+            denom = 1.0 - e2 * sph * sph
+            phi = phi + (qc - _q_col(phi, e)) * denom * denom \
+                / (F.lit(2 * (1 - e2)) * F.cos(phi))
+        return F.degrees(lam), F.degrees(phi)
+
+
 # parameterized CRS registry (published EPSG definitions); extensible via
 # register_crs for state-plane zones etc.
 CRS_REGISTRY: dict[int, object] = {
@@ -389,6 +448,9 @@ CRS_REGISTRY: dict[int, object] = {
     3031: PolarStereographicB(WGS84_A, WGS84_F, -71.0, 0.0, 0.0, 0.0),
     # WGS 84 / NSIDC Sea Ice Polar Stereographic North
     3413: PolarStereographicB(WGS84_A, WGS84_F, 70.0, -45.0, 0.0, 0.0),
+    # ETRS89-extended / LAEA Europe
+    3035: LambertAzimuthalEqualArea(GRS80_A, GRS80_F, 52.0, 10.0,
+                                    4_321_000.0, 3_210_000.0),
 }
 
 

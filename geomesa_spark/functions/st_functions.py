@@ -282,9 +282,12 @@ def _closest_point(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Geometry intersection; exact for (anything, convex polygon) pairs via
-    Sutherland-Hodgman, bbox-clip fallback otherwise (documented limitation —
-    the reference delegates to JTS full overlay)."""
+    """Geometry intersection via the difference identity
+    a n b = a - (a - b) (geom/relate.intersection): exact across the
+    difference machinery's domain — points, lines, convex AND concave
+    polygons, holes included (the reference delegates to JTS overlay,
+    SpatialRelationFunctions.scala:59)."""
+    from geomesa_spark.geom import relate
     out = []
     for x, y in zip(_parse_series(a), _parse_series(b)):
         if x is None or y is None:
@@ -299,12 +302,7 @@ def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
         if isinstance(y, model.Point):
             out.append(wkb_dumps(y))
             continue
-        if isinstance(x, model.Polygon) and isinstance(y, model.Polygon):
-            clipped = algos.clip_polygon_convex(x.shell, y.shell)
-            out.append(wkb_dumps(model.Polygon(clipped)) if len(clipped)
-                       else wkb_dumps(model.GeometryCollection([])))
-            continue
-        out.append(wkb_dumps(x))  # fallback: left operand
+        out.append(wkb_dumps(relate.intersection(x, y)))
     return pd.Series(out)
 
 

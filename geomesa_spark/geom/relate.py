@@ -356,17 +356,55 @@ def _clip_halfplane(ring: np.ndarray, a, b, keep_left: bool) -> np.ndarray:
     return np.vstack([arr, arr[:1]])
 
 
+def _collect_result(out: list):
+    if not out:
+        return model.GeometryCollection([])
+    if len(out) == 1:
+        return out[0]
+    if all(isinstance(g, model.Point) for g in out):
+        return model.MultiPoint(out)
+    if all(isinstance(g, model.LineString) for g in out):
+        return model.MultiLineString(out)
+    if all(isinstance(g, model.Polygon) for g in out):
+        return model.MultiPolygon(out)
+    return model.GeometryCollection(out)
+
+
 def difference(a, b):
     """a minus b (JTS ST_Difference semantics on the closed subtrahend).
 
     Exact for point and line minuends against any b, and for polygon
-    minuends against hole-free polygonal subtrahends: convex components
-    subtract directly by half-plane decomposition (one piece per edge);
-    non-convex components are ear-clipped into triangles first and the
-    triangles subtracted sequentially (A - (T1 u T2 ...) = ((A-T1)-T2)...).
-    Subtrahends with holes raise ValueError — the reference delegates
-    those to the full JTS overlay (SpatialRelationFunctions.scala:59).
+    minuends against polygonal subtrahends: convex components subtract
+    directly by half-plane decomposition (one piece per edge); non-convex
+    components are ear-clipped into triangles first and the triangles
+    subtracted sequentially (A - (T1 u T2 ...) = ((A-T1)-T2)...).  Holes
+    in the MINUEND are just extra subtrahend clips; a subtrahend
+    component WITH holes reduces via the set identity
+    A - (S \\ H) = (A - S) u (A n H) with A n H = A - (A - H) — every
+    term uses only hole-free machinery, and islands nested inside the
+    hole are handled because the remaining subtrahend components are
+    subtracted from the combined result afterward.  (The reference
+    delegates general overlay to JTS, SpatialRelationFunctions.scala:59.)
     """
+    holed = [cb for cb in b._components()
+             if isinstance(cb, model.Polygon) and cb.holes]
+    if holed:
+        cb = holed[0]
+        rest = [c for c in b._components() if c is not cb]
+        shell = model.Polygon(cb.shell.copy())
+        parts = [g for g in
+                 difference(a, shell)._components()]
+        for h in cb.holes:
+            hp = model.Polygon(np.array(h, dtype=np.float64).copy())
+            inter = difference(a, difference(a, hp))
+            parts.extend(inter._components())
+        combined = _collect_result(
+            [p for p in parts
+             if not isinstance(p, model.GeometryCollection)])
+        if rest:
+            return difference(combined, _collect_result(list(rest)))
+        return combined
+
     out = []
     for ca in a._components():
         if isinstance(ca, model.Point):
@@ -417,10 +455,6 @@ def difference(a, b):
             for cb in b._components():
                 if not isinstance(cb, model.Polygon):
                     continue
-                if cb.holes:
-                    raise ValueError(
-                        "difference: polygonal subtrahend with holes is "
-                        "outside the exactness domain")
                 if _is_convex(cb.shell):
                     clips.append(cb.shell)
                 else:
@@ -445,14 +479,24 @@ def difference(a, b):
                             break
                 pieces = nxt
             out.extend(model.Polygon(p) for p in pieces if len(p) >= 4)
-    if not out:
-        return model.GeometryCollection([])
-    if len(out) == 1:
-        return out[0]
-    if all(isinstance(g, model.Point) for g in out):
-        return model.MultiPoint(out)
-    if all(isinstance(g, model.LineString) for g in out):
-        return model.MultiLineString(out)
-    if all(isinstance(g, model.Polygon) for g in out):
-        return model.MultiPolygon(out)
-    return model.GeometryCollection(out)
+    return _collect_result(out)
+
+
+def _dim_of(g) -> int:
+    dims = [2 if isinstance(c, model.Polygon) else
+            1 if isinstance(c, model.LineString) else 0
+            for c in g._components()]
+    return max(dims) if dims else -1
+
+
+def intersection(a, b):
+    """a intersect b via the difference identity a n b = a - (a - b).
+
+    The LOWER-dimension operand carries the result (point-in-polygon is a
+    point, line-through-polygon is the inside line), so operands are
+    swapped when needed; both difference calls stay inside the machinery
+    above (holed operands included).  Exactness domain = difference's.
+    """
+    if _dim_of(b) < _dim_of(a):
+        a, b = b, a
+    return difference(a, difference(a, b))

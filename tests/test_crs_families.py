@@ -171,3 +171,28 @@ class TestRegistry:
         df = spark.createDataFrame([(0.0, 0.0)], "x double, y double")
         with pytest.raises(ValueError):
             crs.reproject(df, 4326, 123456)
+
+
+class TestLAEA:
+    LAEA = crs.CRS_REGISTRY[3035]
+
+    def test_origin_is_false_origin(self, spark):
+        [(x, y)] = _project(spark, self.LAEA, [(10.0, 52.0)])
+        assert abs(x - 4_321_000.0) < 1e-3 and abs(y - 3_210_000.0) < 1e-3
+
+    def test_roundtrip(self, spark):
+        pts = [(lon, lat) for lon in (-10.0, 0.0, 10.0, 30.0)
+               for lat in (35.0, 45.0, 52.0, 60.0, 70.0)]
+        out = _unproject(spark, self.LAEA, _project(spark, self.LAEA, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_equal_area_everywhere(self, spark):
+        for lon, lat in ((10.0, 52.0), (-5.0, 40.0), (25.0, 65.0)):
+            km, kp = _scales(spark, self.LAEA, crs.GRS80_A, crs.GRS80_F,
+                             lon, lat)
+            assert abs(km * kp - 1.0) < 1e-4
+        # azimuthal: scale is 1 in every direction AT the origin
+        km, kp = _scales(spark, self.LAEA, crs.GRS80_A, crs.GRS80_F,
+                         10.0, 52.0)
+        assert abs(km - 1.0) < 1e-4 and abs(kp - 1.0) < 1e-4

@@ -198,14 +198,47 @@ class TestDifference:
             "POLYGON((-2 1, 2 1, 2 2, 0 2, 0 4, -2 4, -2 1))")
         assert abs(algos.area(relate.difference(a, l2)) - 98.0) < 1e-9
 
-    def test_holes_raise(self):
-        import pytest as _pytest
-        from geomesa_spark.geom import relate, wkt
+    def test_holed_subtrahend_reduces_via_identity(self):
+        """A - (S minus H) = (A - S) u (A n H): subtrahend holes keep
+        their area in the minuend (r2 raised; now computed exactly)."""
+        from geomesa_spark.geom import algos, relate, wkt
         a = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
         holed = wkt.wkt_loads(
             "POLYGON((1 1, 5 1, 5 5, 1 5, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))")
-        with _pytest.raises(ValueError):
-            relate.difference(a, holed)
+        # subtrahend area = 16 - 1 = 15 -> difference area = 85
+        d = relate.difference(a, holed)
+        assert abs(algos.area(d) - 85.0) < 1e-9
+        # island nested inside the hole is subtracted again by the
+        # rest-components pass
+        island = wkt.wkt_loads(
+            "MULTIPOLYGON(((1 1, 5 1, 5 5, 1 5, 1 1),"
+            " (2 2, 4 2, 4 4, 2 4, 2 2)),"
+            " ((2.5 2.5, 3.5 2.5, 3.5 3.5, 2.5 3.5, 2.5 2.5)))")
+        # area = (16 - 4) + 1 = 13 -> difference = 87
+        d2 = relate.difference(a, island)
+        assert abs(algos.area(d2) - 87.0) < 1e-9
+
+    def test_intersection_identity(self):
+        """intersection = a - (a - b): concave, holed, and mixed-dim."""
+        from geomesa_spark.geom import algos, relate, wkt
+        box = wkt.wkt_loads("POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))")
+        lshape = wkt.wkt_loads(
+            "POLYGON((-2 1, 4 1, 4 2, 0 2, 0 4, -2 4, -2 1))")
+        # L overlaps the box with area 6*1 - 0*? : pieces inside box:
+        # [0..4]x[1..2] = 4 plus [0..0]... -> exact: x>=0 part of L =
+        # [0,4]x[1,2] (4) ; [0,0]x.. none of the upper arm (x in [-2,0])
+        inter = relate.intersection(box, lshape)
+        assert abs(algos.area(inter) - 4.0) < 1e-9
+        # holed operand: box n (square with hole) = square area - hole
+        holed = wkt.wkt_loads(
+            "POLYGON((1 1, 5 1, 5 5, 1 5, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))")
+        inter2 = relate.intersection(box, holed)
+        assert abs(algos.area(inter2) - 15.0) < 1e-9
+        # line n polygon = the inside run, regardless of operand order
+        line = wkt.wkt_loads("LINESTRING(-5 5, 15 5)")
+        for g in (relate.intersection(line, box),
+                  relate.intersection(box, line)):
+            assert wkt.wkt_dumps(g) == "LINESTRING (0 5, 10 5)"
 
     def test_holed_minuend_subtracts_hole(self):
         """r2 VERDICT #1: holes in the MINUEND must be subtracted, not
