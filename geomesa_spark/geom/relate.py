@@ -396,7 +396,7 @@ def difference(a, b):
                  difference(a, shell)._components()]
         for h in cb.holes:
             hp = model.Polygon(np.array(h, dtype=np.float64).copy())
-            inter = difference(a, difference(a, hp))
+            inter = intersection(a, hp)
             parts.extend(inter._components())
         combined = _collect_result(
             [p for p in parts
@@ -489,14 +489,74 @@ def _dim_of(g) -> int:
     return max(dims) if dims else -1
 
 
-def intersection(a, b):
-    """a intersect b via the difference identity a n b = a - (a - b).
+def _closed(ring) -> np.ndarray:
+    r = np.asarray(ring, dtype=np.float64)
+    if r[0].tolist() != r[-1].tolist():
+        r = np.vstack([r, r[:1]])
+    return r
 
-    The LOWER-dimension operand carries the result (point-in-polygon is a
-    point, line-through-polygon is the inside line), so operands are
-    swapped when needed; both difference calls stay inside the machinery
-    above (holed operands included).  Exactness domain = difference's.
+
+def _convex_rings(shell: np.ndarray) -> list[np.ndarray]:
+    """Decompose a simple closed ring into convex closed rings (itself if
+    already convex, else its ear-clip triangulation — a PARTITION, so the
+    pieces' interiors are disjoint and areas sum exactly)."""
+    s = _closed(shell)
+    if _is_convex(s):
+        return [s]
+    return _ear_clip(s)
+
+
+def _ccw(ring: np.ndarray) -> np.ndarray:
+    area2 = 0.0
+    for i in range(len(ring) - 1):
+        area2 += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return ring[::-1] if area2 < 0 else ring
+
+
+def intersection(a, b):
+    """a intersect b (JTS ST_Intersection semantics).
+
+    Mixed dimension uses the difference identity a n b = a - (a - b) on
+    the LOWER-dimension operand (point-in-polygon is a point,
+    line-through-polygon is the inside line) — cheap, since point/line
+    minuends never fragment.  Polygon n polygon is computed DIRECTLY:
+    both shells are convex-decomposed (ear-clip partitions) and clipped
+    pairwise with Sutherland-Hodgman (convex clip region required), so
+    cost is O(|A| * |B|) pieces — the difference identity would fragment
+    exponentially on concave operands.  Holes on either side are
+    subtracted from the piece set afterward.  (The reference delegates
+    general overlay to JTS, SpatialRelationFunctions.scala:59.)
     """
     if _dim_of(b) < _dim_of(a):
         a, b = b, a
-    return difference(a, difference(a, b))
+    if _dim_of(a) < 2:
+        return difference(a, difference(a, b))
+
+    a_rings: list[np.ndarray] = []
+    holes: list[np.ndarray] = []
+    b_rings: list[np.ndarray] = []
+    for ca in a._components():
+        if isinstance(ca, model.Polygon):
+            a_rings.extend(_convex_rings(ca.shell))
+            holes.extend(np.asarray(h, dtype=np.float64) for h in ca.holes)
+    for cb in b._components():
+        if isinstance(cb, model.Polygon):
+            b_rings.extend(_convex_rings(cb.shell))
+            holes.extend(np.asarray(h, dtype=np.float64) for h in cb.holes)
+
+    pieces = []
+    for ra in map(_ccw, a_rings):
+        for rb in map(_ccw, b_rings):
+            clipped = ra
+            for i in range(len(rb) - 1):
+                clipped = _clip_halfplane(clipped, rb[i], rb[i + 1],
+                                          keep_left=True)
+                if not len(clipped):
+                    break
+            if len(clipped) >= 4:
+                pieces.append(clipped)
+    result = _collect_result([model.Polygon(p) for p in pieces])
+    if holes and pieces:
+        result = difference(result, _collect_result(
+            [model.Polygon(h) for h in holes]))
+    return result

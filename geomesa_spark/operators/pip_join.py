@@ -118,30 +118,64 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
         res = pick_cover_resolution([g.bounds for _, g, _ in polys])
 
     from geomesa_spark.cells.grid import cell_xy
-    from geomesa_spark.plans.cover import classify_cell_cover
-
-    # join key = row-major cell index (iy*n + ix): ~10 native ops per point
-    # vs ~100 for the Morton spread (z-order matters for range partitioning
-    # and sorted layouts, not for a hash-join key)
-    def rowmajor(cid: int) -> int:
-        _res, ix, iy = cell_xy(cid)
-        return iy * (1 << res) + ix
-
-    rows = []
-    for k, (pid, g, _b) in enumerate(polys):
-        if isinstance(g, (model.Polygon, model.MultiPolygon)):
-            contained, boundary = classify_cell_cover(g, res)
-        else:
-            contained, boundary = [], geometry_cell_cover(g, res)
-        # contained cells skip the refine (exact-ranges shortcut); boundary
-        # cells carry the polygon index for the vectorized refine
-        rows.extend((pid, rowmajor(cid), None) for cid in contained)
-        rows.extend((pid, rowmajor(cid), k) for cid in boundary)
-    id_type = "string" if polys and isinstance(polys[0][0], str) else "long"
-    cover_df = spark.createDataFrame(
-        rows, schema=f"{poly_id_col} {id_type}, __cell long, __pidx int")
+    from geomesa_spark.plans.cover import classify_cell_cover_xy
 
     n = 1 << res
+    id_type = "string" if polys and isinstance(polys[0][0], str) else "long"
+    all_polygonal = all(isinstance(g, (model.Polygon, model.MultiPolygon))
+                        for _pid, g, _b in polys)
+
+    if all_polygonal:
+        # Vectorized cover build: numpy (ix, iy) arrays -> row-major cell
+        # keys (iy*n + ix: ~10 native ops per point vs ~100 for the Morton
+        # spread — z-order matters for range partitioning and sorted
+        # layouts, not for a hash-join key) -> ONE Arrow-backed
+        # createDataFrame.  The broadcast rows carry only (cell, pidx,
+        # interior) — 13 bytes/entry; poly_id rides on the 64-row polygon
+        # metadata join instead of being duplicated per cover cell.  At a
+        # few hundred thousand cover cells the per-tuple Python build this
+        # replaces was ~10s of DRIVER-side serial time per query — the
+        # planning stage must stay O(cover) numpy, or it dominates
+        # cluster-size scaling (Amdahl).
+        cells_parts, pidx_parts, interior_parts = [], [], []
+        for k, (_pid, g, _b) in enumerate(polys):
+            contained_xy, boundary_xy = classify_cell_cover_xy(g, res)
+            for xy, interior in ((contained_xy, True), (boundary_xy, False)):
+                if len(xy) == 0:
+                    continue
+                cells_parts.append(xy[:, 1] * n + xy[:, 0])
+                pidx_parts.append(np.full(len(xy), k, dtype=np.int32))
+                interior_parts.append(
+                    np.full(len(xy), interior, dtype=bool))
+        cover_pdf = pd.DataFrame({
+            "__cell": np.concatenate(cells_parts) if cells_parts
+            else np.empty(0, dtype=np.int64),
+            "__pidx": np.concatenate(pidx_parts) if pidx_parts
+            else np.empty(0, dtype=np.int32),
+            "__interior": np.concatenate(interior_parts) if interior_parts
+            else np.empty(0, dtype=bool),
+        })
+        cover_df = spark.createDataFrame(cover_pdf)
+    else:
+        # mixed geometry types (lines/points in the set): small covers,
+        # legacy tuple build
+        def rowmajor(cid: int) -> int:
+            _res, ix, iy = cell_xy(cid)
+            return iy * n + ix
+
+        rows = []
+        for k, (_pid, g, _b) in enumerate(polys):
+            if isinstance(g, (model.Polygon, model.MultiPolygon)):
+                contained_xy, boundary_xy = classify_cell_cover_xy(g, res)
+                rows.extend((int(xy[1]) * n + int(xy[0]), k, True)
+                            for xy in contained_xy)
+                rows.extend((int(xy[1]) * n + int(xy[0]), k, False)
+                            for xy in boundary_xy)
+            else:
+                rows.extend((rowmajor(cid), k, False)
+                            for cid in geometry_cell_cover(g, res))
+        cover_df = spark.createDataFrame(
+            rows, schema="__cell long, __pidx int, __interior boolean")
     cell_expr = (
         f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
         f" * {n} + "
@@ -154,8 +188,8 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
     # server-side iterators): the exact refine is a ray-cast over the
     # polygon's edge list, expressed as ONE small aggregate() over an
     # `__edges` array column attached by a 64-row broadcast join on the
-    # polygon index. All JVM — zero Python traffic; interior rows (pidx
-    # NULL) short-circuit before the aggregate. Arithmetic replicates
+    # polygon index. All JVM — zero Python traffic; interior rows
+    # short-circuit on `__interior` before the aggregate. Arithmetic replicates
     # algos.points_in_ring term-for-term (boundary-inclusive even-odd), so
     # results are bit-identical to the pandas kernel.
     if predicate == "intersects" and all(
@@ -176,10 +210,10 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
                 for i in range(len(arr) - 1):
                     edges.append((float(arr[i][0]), float(arr[i][1]),
                                   float(arr[i + 1][0]), float(arr[i + 1][1])))
-            edge_rows.append((k, ccw is not None, edges))
+            edge_rows.append((k, polys[k][0], ccw is not None, edges))
         edges_df = spark.createDataFrame(
             edge_rows,
-            "__pidx int, __convex boolean, "
+            f"__pidx int, {poly_id_col} {id_type}, __convex boolean, "
             "__edges array<struct<ax:double,ay:double,bx:double,by:double>>")
         lon, lat = lon_col, lat_col
         # convex: boundary-inclusive half-plane conjunction (cheap forall);
@@ -199,25 +233,29 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
                           AND {lon} >= least(e.ax, e.bx) AND {lon} <= greatest(e.ax, e.bx)
                           AND {lat} >= least(e.ay, e.by) AND {lat} <= greatest(e.ay, e.by))),
                 acc -> acc.b OR acc.i))""")
-        out = (joined.join(F.broadcast(edges_df), "__pidx", "left")
-               .where(F.col("__pidx").isNull() | refine))
-        return _attach_geom(spark, out.drop("__cell", "__pidx", "__convex",
-                                            "__edges"),
+        out = (joined.join(F.broadcast(edges_df), "__pidx")
+               .where(F.col("__interior") | refine))
+        return _attach_geom(spark, out.drop("__cell", "__pidx", "__interior",
+                                            "__convex", "__edges"),
                             polys, poly_id_col, id_type, keep_geom)
 
-    # General path (line/point geometries in the mix): split interior rows
-    # (pidx NULL -> already exact) from boundary rows BEFORE the pandas UDF —
-    # `isNull | udf(...)` would ship every candidate row through the Python
-    # worker sockets; the split keeps Arrow traffic proportional to the
-    # boundary fraction (the reference's exact-ranges shortcut,
-    # Z3IndexKeySpace.useFullFilter).
-    interior = joined.where(F.col("__pidx").isNull())
-    boundary = joined.where(F.col("__pidx").isNotNull()).where(
+    # General path (line/point geometries in the mix, or a non-intersects
+    # predicate): split interior rows (already exact) from boundary rows
+    # BEFORE the pandas UDF — `__interior | udf(...)` would ship every
+    # candidate row through the Python worker sockets; the split keeps
+    # Arrow traffic proportional to the boundary fraction (the reference's
+    # exact-ranges shortcut, Z3IndexKeySpace.useFullFilter).
+    interior = joined.where(F.col("__interior"))
+    boundary = joined.where(~F.col("__interior")).where(
         _refine_indexed_udf(geoms, predicate)(F.col(lon_col), F.col(lat_col),
                                               F.col("__pidx")))
-    return _attach_geom(spark,
-                        interior.unionByName(boundary).drop("__cell", "__pidx"),
-                        polys, poly_id_col, id_type, keep_geom)
+    id_df = spark.createDataFrame(
+        [(k, pid) for k, (pid, _g, _b) in enumerate(polys)],
+        f"__pidx int, {poly_id_col} {id_type}")
+    out = (interior.unionByName(boundary)
+           .join(F.broadcast(id_df), "__pidx")
+           .drop("__cell", "__pidx", "__interior"))
+    return _attach_geom(spark, out, polys, poly_id_col, id_type, keep_geom)
 
 
 def _attach_geom(spark, out: DataFrame, polys, poly_id_col: str,

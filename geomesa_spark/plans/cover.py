@@ -86,7 +86,25 @@ def _poly_rings(geom: model.Geometry):
 
 def classify_cell_cover(geom: model.Geometry, res: int
                         ) -> tuple[list[int], list[int]]:
-    """Vectorized polygon cover, split into (contained, boundary) cells.
+    """Vectorized polygon cover, split into (contained, boundary) z cells.
+
+    Thin wrapper over :func:`classify_cell_cover_xy` that converts the
+    (ix, iy) arrays to z-order cell ids (the layout/range-scan key).  The
+    broadcast join path uses the xy variant directly — it keys on row-major
+    indices and must not pay a per-cell Python bit-spread.
+    """
+    contained_xy, boundary_xy = classify_cell_cover_xy(geom, res)
+    contained = [grid.from_xy(res, int(ex), int(ey))
+                 for ex, ey in contained_xy]
+    boundary = [grid.from_xy(res, int(ex), int(ey))
+                for ex, ey in boundary_xy]
+    return contained, boundary
+
+
+def classify_cell_cover_xy(geom: model.Geometry, res: int
+                           ) -> "tuple":
+    """Vectorized polygon cover, split into (contained, boundary) cells,
+    returned as two (k, 2) int64 arrays of global (ix, iy) grid indices.
 
     The split drives the exact-cover shortcut: contained cells skip the
     residual refine entirely (Z3IndexKeySpace.useFullFilter:240-254 analog).
@@ -160,12 +178,11 @@ def classify_cell_cover(geom: model.Geometry, res: int
                 edge[np.full_like(eys, int(x0) - 1), eys] = True
 
     contained_m = (corners_in == 4) & ~edge
-    contained, boundary = [], []
-    for ex, ey in zip(*np.nonzero(contained_m)):
-        contained.append(grid.from_xy(res, int(ex) + ix0, int(ey) + iy0))
-    for ex, ey in zip(*np.nonzero(edge)):
-        boundary.append(grid.from_xy(res, int(ex) + ix0, int(ey) + iy0))
-    return contained, boundary
+    cxs, cys = np.nonzero(contained_m)
+    bxs, bys = np.nonzero(edge)
+    contained_xy = np.stack([cxs + ix0, cys + iy0], axis=1).astype(np.int64)
+    boundary_xy = np.stack([bxs + ix0, bys + iy0], axis=1).astype(np.int64)
+    return contained_xy, boundary_xy
 
 
 def pick_cover_resolution(boxes: list[tuple[float, float, float, float]],

@@ -29,7 +29,7 @@ def test_timeout_cancels_job_group(spark):
     runner = AuditedRunner(spark)
     # a query that would run for minutes: wide range cross join
     big = spark.range(2_000_000_000).crossJoin(
-        spark.range(1000)).selectExpr("sum(id) s")
+        spark.range(1000).toDF("j")).selectExpr("sum(id + j) s")
     t0 = time.time()
     with pytest.raises(QueryTimeout):
         runner.run(big, description="runaway", timeout_sec=3.0)
@@ -40,7 +40,9 @@ def test_timeout_cancels_job_group(spark):
 
 def test_error_recorded(spark):
     runner = AuditedRunner(spark)
-    df = spark.range(10).selectExpr("assert_true(id < 5) x", "id")
+    # the failing expression sits in the WHERE clause so .count() cannot
+    # prune it away
+    df = spark.range(10).where("ifnull(assert_true(id < 5), true)")
     with pytest.raises(Exception):
         runner.run(df, description="boom")
     assert runner.records[-1].outcome == "error"
@@ -52,7 +54,7 @@ def test_timeout_does_not_affect_other_queries(spark):
     connection)."""
     runner = AuditedRunner(spark)
     big = spark.range(2_000_000_000).crossJoin(
-        spark.range(1000)).selectExpr("sum(id) s")
+        spark.range(1000).toDF("j")).selectExpr("sum(id + j) s")
     with pytest.raises(QueryTimeout):
         runner.run(big, timeout_sec=2.0)
     assert runner.run(spark.range(100), description="after") == 100
