@@ -188,10 +188,20 @@ class TestLAEA:
             assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8
 
     def test_equal_area_everywhere(self, spark):
+        # azimuthal graticules are NOT orthogonal away from the central
+        # meridian, so k_mer * k_par = 1/sin(theta') > 1 there even for a
+        # perfect equal-area projection — the invariant is the JACOBIAN
+        # area scale |x_phi y_lam - x_lam y_phi| / (M N cos(phi)), == 1
+        d = 1e-6
+        drad = math.radians(d)
         for lon, lat in ((10.0, 52.0), (-5.0, 40.0), (25.0, 65.0)):
-            km, kp = _scales(spark, self.LAEA, crs.GRS80_A, crs.GRS80_F,
-                             lon, lat)
-            assert abs(km * kp - 1.0) < 1e-4
+            (x0, y0), (xm, ym), (xp, yp) = _project(
+                spark, self.LAEA,
+                [(lon, lat), (lon, lat + d), (lon + d, lat)])
+            m, n = _radii(crs.GRS80_A, crs.GRS80_F, lat)
+            sigma = abs((xm - x0) * (yp - y0) - (xp - x0) * (ym - y0)) \
+                / (m * drad * n * math.cos(math.radians(lat)) * drad)
+            assert abs(sigma - 1.0) < 1e-4
         # azimuthal: scale is 1 in every direction AT the origin
         km, kp = _scales(spark, self.LAEA, crs.GRS80_A, crs.GRS80_F,
                          10.0, 52.0)
