@@ -171,6 +171,104 @@ def infer_avro(spark: SparkSession, path: str,
     return _promote_and_spec(spark, df, sample_rows)
 
 
+def read_xml(spark: SparkSession, path: str, record_tag: str,
+             fields: dict[str, str] | None = None) -> DataFrame:
+    """XML ingest (the converter DSL's XML module,
+    geomesa-convert-xml XmlConverter.scala / XmlConverterFactory.scala).
+
+    Each input file is parsed on the EXECUTORS (``binaryFile`` source ->
+    ``mapInPandas`` over Arrow batches of whole documents — one task per
+    file split, so a directory of XML files scales with the cluster, the
+    same shape the multimodal decoders use); every ``record_tag`` element
+    becomes one row.  ``fields`` maps output column -> ElementTree path
+    relative to the record element, with the converter's XPath surface:
+
+    * ``"name"`` / ``"a/b"``  -> text of the (first) matching child
+    * ``"@attr"``             -> attribute of the record element
+    * ``"a/@attr"``           -> attribute of a child
+
+    With ``fields=None`` the leaf children + attributes of the first
+    record are used (the XmlConverter's schema inference).  All values
+    land as strings; run the result through :func:`infer_xml` to get the
+    timestamp/WKT/number promotion pass.
+    """
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def _extract(elem, path_expr: str):
+        if path_expr.startswith("@"):
+            return elem.get(path_expr[1:])
+        if "/@" in path_expr:
+            child_path, attr = path_expr.rsplit("/@", 1)
+            child = elem.find(child_path)
+            return None if child is None else child.get(attr)
+        return elem.findtext(path_expr)
+
+    def parse_batches(batches):
+        import xml.etree.ElementTree as ET
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                root = ET.fromstring(bytes(blob))
+                matches = ([root] if root.tag == record_tag
+                           else root.iter(record_tag))
+                for rec in matches:
+                    if fields is None:
+                        row = {f"@{k}": v for k, v in rec.attrib.items()}
+                        for child in rec:
+                            if len(child) == 0:
+                                row[child.tag] = (child.text or "").strip() \
+                                    or None
+                    else:
+                        row = {name: _extract(rec, xp)
+                               for name, xp in fields.items()}
+                    rows.append(row)
+            cols = (list(fields) if fields is not None
+                    else sorted({k for r in rows for k in r}))
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in cols},
+                columns=cols, dtype=object)
+
+    if fields is None:
+        # schema discovery needs one record: parse the first file on the
+        # driver (metadata-sized read, like infer_csv's sampling)
+        first = raw.select("content").limit(1).collect()
+        if not first:
+            raise ValueError(f"no files matched {path}")
+        import xml.etree.ElementTree as ET
+        root = ET.fromstring(bytes(first[0].content))
+        rec = root if root.tag == record_tag else next(
+            root.iter(record_tag), None)
+        if rec is None:
+            raise ValueError(f"no <{record_tag}> element in first file")
+        names = [f"@{k}" for k in rec.attrib] + \
+            [c.tag for c in rec if len(c) == 0]
+        fields = {n: n for n in dict.fromkeys(names)}
+
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in fields])
+    return raw.mapInPandas(parse_batches, schema=schema)
+
+
+def infer_xml(spark: SparkSession, path: str, record_tag: str,
+              fields: dict[str, str] | None = None,
+              sample_rows: int = 100) -> tuple[DataFrame, str]:
+    """XML ingest + the standard promotion pass (timestamps, WKT
+    geometries, numbers) and SFT spec string — the same contract as
+    infer_csv/infer_json."""
+    df = read_xml(spark, path, record_tag, fields)
+    sample = df.limit(sample_rows).collect()
+    for field in df.schema.fields:
+        vals = [r[field.name] for r in sample
+                if r[field.name] not in (None, "")]
+        if vals and all(_is_number(v) for v in vals):
+            typ = "bigint" if all(_is_int(v) for v in vals) else "double"
+            df = df.withColumn(field.name,
+                               F.col(f"`{field.name}`").cast(typ))
+    return _promote_and_spec(spark, df, sample_rows)
+
+
 def infer_fixed_width(spark: SparkSession, path: str,
                       widths: list[int], names: list[str] | None = None,
                       sample_rows: int = 100) -> tuple[DataFrame, str]:

@@ -190,3 +190,36 @@ def test_infer_json_nested_timestamp_promotion(spark, tmp_path):
     assert field["props.dtg"] == "timestamp"
     rows = df.orderBy("id").collect()
     assert rows[0]["props.dtg"].day == 1 and rows[1]["props.dtg"].hour == 13
+
+
+def test_read_xml_explicit_fields(spark, tmp_path):
+    from geomesa_spark.sources.ingest import read_xml
+    doc = """<?xml version="1.0"?>
+<features>
+  <feature id="f1"><name>alpha</name><pos><lon>1.5</lon><lat>2.5</lat></pos></feature>
+  <feature id="f2"><name>beta</name><pos><lon>-3.0</lon><lat>4.0</lat></pos></feature>
+</features>"""
+    (tmp_path / "a.xml").write_text(doc)
+    (tmp_path / "b.xml").write_text(doc.replace("f1", "f3").replace("f2", "f4"))
+    df = read_xml(spark, str(tmp_path), "feature",
+                  fields={"fid": "@id", "name": "name",
+                          "lon": "pos/lon", "lat": "pos/lat"})
+    rows = {r.fid: r for r in df.collect()}
+    assert set(rows) == {"f1", "f2", "f3", "f4"}
+    assert rows["f1"].name == "alpha" and rows["f3"].lon == "1.5"
+
+
+def test_infer_xml_promotes_types(spark, tmp_path):
+    from geomesa_spark.sources.ingest import infer_xml
+    doc = """<?xml version="1.0"?>
+<obs>
+  <row n="1"><dtg>2024-05-01T10:00:00Z</dtg><geom>POINT (1 2)</geom><v>7</v></row>
+  <row n="2"><dtg>2024-05-02T11:30:00Z</dtg><geom>POINT (3 4)</geom><v>9</v></row>
+</obs>"""
+    (tmp_path / "obs.xml").write_text(doc)
+    df, spec = infer_xml(spark, str(tmp_path), "row")
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    assert types["dtg"] == "timestamp"
+    assert types["v"] == "bigint"
+    assert "geom:Point" in spec or "geom" in spec
+    assert df.count() == 2
