@@ -114,49 +114,71 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
     """
     spark = points.sparkSession
     polys = _polygons_to_local(polygons)
-    if res is None:
-        res = pick_cover_resolution([g.bounds for _, g, _ in polys])
 
     from geomesa_spark.cells.grid import cell_xy
-    from geomesa_spark.plans.cover import classify_cell_cover_xy
+    from geomesa_spark.plans.cover import (classify_cell_cover_xy,
+                                           cover_spans, pick_span_resolution)
 
-    n = 1 << res
     id_type = "string" if polys and isinstance(polys[0][0], str) else "long"
     all_polygonal = all(isinstance(g, (model.Polygon, model.MultiPolygon))
                         for _pid, g, _b in polys)
 
     if all_polygonal:
-        # Vectorized cover build: numpy (ix, iy) arrays -> row-major cell
-        # keys (iy*n + ix: ~10 native ops per point vs ~100 for the Morton
-        # spread — z-order matters for range partitioning and sorted
-        # layouts, not for a hash-join key) -> ONE Arrow-backed
-        # createDataFrame.  The broadcast rows carry only (cell, pidx,
-        # interior) — 13 bytes/entry; poly_id rides on the 64-row polygon
-        # metadata join instead of being duplicated per cover cell.  At a
-        # few hundred thousand cover cells the per-tuple Python build this
-        # replaces was ~10s of DRIVER-side serial time per query — the
-        # planning stage must stay O(cover) numpy, or it dominates
-        # cluster-size scaling (Amdahl).
-        cells_parts, pidx_parts, interior_parts = [], [], []
+        # SPAN cover: the broadcast side is O(perimeter) scanline spans
+        # (iy, x0, x1, pidx, interior), not O(area) cells — a circle D cells
+        # across broadcasts O(D) rows instead of O(D^2).  That keeps ALL
+        # per-query serial work (driver numpy build, Arrow createDataFrame,
+        # broadcast exchange collect + hash-relation build) small enough to
+        # stay out of the Amdahl term at cluster sizes, and lets the cover
+        # resolution go ~8x finer for free, shrinking the boundary fraction
+        # that must pay the exact refine to a few percent.  The join is a
+        # broadcast HASH join on the grid row __iy with the x-range check as
+        # a native join filter (whole-stage codegen; a handful of long
+        # compares per probed span).
+        if res is None:
+            res = pick_span_resolution([g.bounds for _, g, _ in polys])
+        iy_parts, x0_parts, x1_parts, pidx_parts, interior_parts = \
+            [], [], [], [], []
         for k, (_pid, g, _b) in enumerate(polys):
-            contained_xy, boundary_xy = classify_cell_cover_xy(g, res)
-            for xy, interior in ((contained_xy, True), (boundary_xy, False)):
-                if len(xy) == 0:
-                    continue
-                cells_parts.append(xy[:, 1] * n + xy[:, 0])
-                pidx_parts.append(np.full(len(xy), k, dtype=np.int32))
-                interior_parts.append(
-                    np.full(len(xy), interior, dtype=bool))
+            iy, x0, x1, interior = cover_spans(g, res)
+            if len(iy) == 0:
+                continue
+            iy_parts.append(iy)
+            x0_parts.append(x0)
+            x1_parts.append(x1)
+            pidx_parts.append(np.full(len(iy), k, dtype=np.int32))
+            interior_parts.append(interior)
         cover_pdf = pd.DataFrame({
-            "__cell": np.concatenate(cells_parts) if cells_parts
+            "__siy": np.concatenate(iy_parts) if iy_parts
+            else np.empty(0, dtype=np.int64),
+            "__x0": np.concatenate(x0_parts) if x0_parts
+            else np.empty(0, dtype=np.int64),
+            "__x1": np.concatenate(x1_parts) if x1_parts
             else np.empty(0, dtype=np.int64),
             "__pidx": np.concatenate(pidx_parts) if pidx_parts
             else np.empty(0, dtype=np.int32),
             "__interior": np.concatenate(interior_parts) if interior_parts
             else np.empty(0, dtype=bool),
         })
-        cover_df = spark.createDataFrame(cover_pdf)
+        spans_df = spark.createDataFrame(cover_pdf)
+        n = 1 << res
+        ix_expr = (f"least(greatest(cast(floor(({lon_col} + 180.0) / 360.0 "
+                   f"* {n}) as bigint), 0), {n - 1})")
+        iy_expr = (f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 "
+                   f"* {n}) as bigint), 0), {n - 1})")
+        pts = (points
+               .withColumn("__ix", F.expr(ix_expr))
+               .withColumn("__iy", F.expr(iy_expr)))
+        joined = (pts.join(F.broadcast(spans_df),
+                           (pts["__iy"] == spans_df["__siy"])
+                           & (pts["__ix"] >= spans_df["__x0"])
+                           & (pts["__ix"] <= spans_df["__x1"]),
+                           "inner")
+                  .drop("__ix", "__iy", "__siy", "__x0", "__x1"))
     else:
+        if res is None:
+            res = pick_cover_resolution([g.bounds for _, g, _ in polys])
+        n = 1 << res
         # mixed geometry types (lines/points in the set): small covers,
         # legacy tuple build
         def rowmajor(cid: int) -> int:
@@ -176,12 +198,13 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
                             for cid in geometry_cell_cover(g, res))
         cover_df = spark.createDataFrame(
             rows, schema="__cell long, __pidx int, __interior boolean")
-    cell_expr = (
-        f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
-        f" * {n} + "
-        f"least(greatest(cast(floor(({lon_col} + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})")
-    pts = points.withColumn("__cell", F.expr(cell_expr))
-    joined = pts.join(F.broadcast(cover_df), "__cell", "inner")
+        cell_expr = (
+            f"least(greatest(cast(floor(({lat_col} + 90.0) / 180.0 * {n}) as bigint), 0), {n - 1})"
+            f" * {n} + "
+            f"least(greatest(cast(floor(({lon_col} + 180.0) / 360.0 * {n}) as bigint), 0), {n - 1})")
+        pts = points.withColumn("__cell", F.expr(cell_expr))
+        joined = (pts.join(F.broadcast(cover_df), "__cell", "inner")
+                  .drop("__cell"))
     geoms = [g for _pid, g, _b in polys]
 
     # Predicate compilation (the analog of GeoMesa compiling filters into
@@ -235,7 +258,7 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
                 acc -> acc.b OR acc.i))""")
         out = (joined.join(F.broadcast(edges_df), "__pidx")
                .where(F.col("__interior") | refine))
-        return _attach_geom(spark, out.drop("__cell", "__pidx", "__interior",
+        return _attach_geom(spark, out.drop("__pidx", "__interior",
                                             "__convex", "__edges"),
                             polys, poly_id_col, id_type, keep_geom)
 
@@ -254,7 +277,7 @@ def pip_join_broadcast(points: DataFrame, polygons, *, res: int | None = None,
         f"__pidx int, {poly_id_col} {id_type}")
     out = (interior.unionByName(boundary)
            .join(F.broadcast(id_df), "__pidx")
-           .drop("__cell", "__pidx", "__interior"))
+           .drop("__pidx", "__interior"))
     return _attach_geom(spark, out, polys, poly_id_col, id_type, keep_geom)
 
 

@@ -44,37 +44,65 @@ def density(df: DataFrame, envelope: tuple, width: int, height: int, *,
 def tile_pyramid(df: DataFrame, zooms: list[int], *, tile_px: int = 256,
                  lon_col: str = "lon", lat_col: str = "lat",
                  weight: Column | str | None = None) -> DataFrame:
-    """(zoom, tx, ty, px, py, weight, cnt) for all zoom levels in one pass.
+    """(zoom, tx, ty, px, py, weight, cnt) for all zoom levels.
 
     Deterministic tile assignment: plate carrée, ty increases northward,
     floor snap with the +90/+180 edges clamped into the last tile — matching
     the engine's GridSnap-parity pixel math (tests port F7 semantics).
+
+    ROLLUP execution: only the FINEST zoom aggregates the raw rows (one
+    shuffle of the input, packed single-long pixel key); every coarser zoom
+    re-aggregates the PREVIOUS level's already-reduced output, since a
+    coarser pixel id is exactly the finer id div 2^dz (floor(floor(x)/m) =
+    floor(x/m), and the clamped top edge maps consistently).  Versus the
+    naive explode-by-zoom + one giant groupBy this cuts shuffled rows from
+    len(zooms) x input down to input + sum(level sizes) — at 10^12 rows the
+    difference is the whole job.  Weight sums re-associate (floating point)
+    but are exact as rollups of the finest level.
     """
     lon, lat = F.col(lon_col), F.col(lat_col)
     w = F.lit(1.0) if weight is None else (F.col(weight) if isinstance(weight, str) else weight)
 
-    structs = []
-    for z in zooms:
-        n_px = (1 << z) * tile_px
-        gx = F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n_px)),
-                     F.lit(n_px - 1)).cast("long")
-        gy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n_px)),
-                     F.lit(n_px - 1)).cast("long")
-        structs.append(F.struct(
-            F.lit(z).alias("zoom"),
-            (gx / tile_px).cast("int").alias("tx"),
-            (gy / tile_px).cast("int").alias("ty"),
-            (gx % tile_px).cast("int").alias("px"),
-            (gy % tile_px).cast("int").alias("py"),
-        ))
+    zs = sorted(set(zooms), reverse=True)
+    finest = zs[0]
+    n_px = (1 << finest) * tile_px
+    gx = F.least(F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n_px)),
+                 F.lit(n_px - 1)).cast("long")
+    gy = F.least(F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(n_px)),
+                 F.lit(n_px - 1)).cast("long")
 
-    return (df
-            .where(lon.between(-180.0, 180.0) & lat.between(-90.0, 90.0))
-            .withColumn("__w", w)
-            .withColumn("__t", F.explode(F.array(*structs)))
-            .select("__t.zoom", "__t.tx", "__t.ty", "__t.px", "__t.py", "__w")
-            .groupBy("zoom", "tx", "ty", "px", "py")
-            .agg(F.sum("__w").alias("weight"), F.count("*").alias("cnt")))
+    # one shuffle of the raw rows: 8-byte packed key + (weight, cnt)
+    lvl = (df
+           .where(lon.between(-180.0, 180.0) & lat.between(-90.0, 90.0))
+           .select((gx * F.lit(n_px) + gy).alias("__k"), w.alias("__w"))
+           .groupBy("__k")
+           .agg(F.sum("__w").alias("weight"), F.count("*").alias("cnt")))
+
+    def decode(level: DataFrame, z: int) -> DataFrame:
+        npx = (1 << z) * tile_px
+        # `div` = exact integer division (double `/` rounds past 2^53)
+        return level.select(
+            F.lit(z).alias("zoom"),
+            F.expr(f"cast((__k div {npx}) div {tile_px} as int)").alias("tx"),
+            F.expr(f"cast((__k % {npx}) div {tile_px} as int)").alias("ty"),
+            F.expr(f"cast((__k div {npx}) % {tile_px} as int)").alias("px"),
+            F.expr(f"cast((__k % {npx}) % {tile_px} as int)").alias("py"),
+            "weight", "cnt")
+
+    out = decode(lvl, finest)
+    prev, prev_z = lvl, finest
+    for z in zs[1:]:
+        shift = prev_z - z                      # coarsen by 2^shift per axis
+        npx_prev, npx_z = (1 << prev_z) * tile_px, (1 << z) * tile_px
+        k2 = F.expr(f"((__k div {npx_prev}) div {1 << shift}) * {npx_z}"
+                    f" + ((__k % {npx_prev}) div {1 << shift})")
+        lvl2 = (prev.select(k2.alias("__k"), "weight", "cnt")
+                .groupBy("__k")
+                .agg(F.sum("weight").alias("weight"), F.sum("cnt").alias("cnt")))
+        out = out.unionByName(decode(lvl2, z))
+        prev, prev_z = lvl2, z
+
+    return out
 
 
 def density_boxes(df: DataFrame, envelope: tuple, width: int, height: int, *,

@@ -127,16 +127,11 @@ def classify_cell_cover_xy(geom: model.Geometry, res: int
 
     n = 1 << res
     w, h = 360.0 / n, 180.0 / n
-    xmin, ymin, xmax, ymax = geom.bounds
-    ix0 = max(0, min(int((xmin + 180.0) / 360.0 * n), n - 1))
-    ix1 = max(0, min(int((xmax + 180.0) / 360.0 * n), n - 1))
-    iy0 = max(0, min(int((ymin + 90.0) / 180.0 * n), n - 1))
-    iy1 = max(0, min(int((ymax + 90.0) / 180.0 * n), n - 1))
-    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    ix0, iy0, nx, ny = _bbox_cells(geom, res)
 
     # 1. corner grid: (nx+1) x (ny+1) points, one vectorized PIP call
-    cx = -180.0 + (np.arange(ix0, ix1 + 2, dtype=np.float64)) * w
-    cy = -90.0 + (np.arange(iy0, iy1 + 2, dtype=np.float64)) * h
+    cx = -180.0 + (np.arange(ix0, ix0 + nx + 1, dtype=np.float64)) * w
+    cy = -90.0 + (np.arange(iy0, iy0 + ny + 1, dtype=np.float64)) * h
     gx, gy = np.meshgrid(cx, cy, indexing="ij")
     inside = algos.points_intersect(gx.ravel(), gy.ravel(), geom) \
         .reshape(nx + 1, ny + 1)
@@ -144,11 +139,41 @@ def classify_cell_cover_xy(geom: model.Geometry, res: int
     corners_in = (inside[:-1, :-1].astype(np.int8) + inside[1:, :-1]
                   + inside[:-1, 1:] + inside[1:, 1:])          # (nx, ny)
 
-    # 2. exact edge traversal: for each ring segment, the grid cells it
-    # passes through are the floor-cells of midpoints between consecutive
-    # gridline crossings (crossing parameters computed analytically, not
-    # sampled).  Every such cell genuinely intersects the polygon (it
-    # contains a piece of the boundary), so no per-cell recheck is needed.
+    edge = _edge_grid(geom, res, ix0, iy0, nx, ny)
+
+    contained_m = (corners_in == 4) & ~edge
+    cxs, cys = np.nonzero(contained_m)
+    bxs, bys = np.nonzero(edge)
+    contained_xy = np.stack([cxs + ix0, cys + iy0], axis=1).astype(np.int64)
+    boundary_xy = np.stack([bxs + ix0, bys + iy0], axis=1).astype(np.int64)
+    return contained_xy, boundary_xy
+
+
+def _bbox_cells(geom: model.Geometry, res: int) -> tuple[int, int, int, int]:
+    """(ix0, iy0, nx, ny) cell window of the geometry's bbox, clamped."""
+    n = 1 << res
+    xmin, ymin, xmax, ymax = geom.bounds
+    ix0 = max(0, min(int((xmin + 180.0) / 360.0 * n), n - 1))
+    ix1 = max(0, min(int((xmax + 180.0) / 360.0 * n), n - 1))
+    iy0 = max(0, min(int((ymin + 90.0) / 180.0 * n), n - 1))
+    iy1 = max(0, min(int((ymax + 90.0) / 180.0 * n), n - 1))
+    return ix0, iy0, ix1 - ix0 + 1, iy1 - iy0 + 1
+
+
+def _edge_grid(geom: model.Geometry, res: int, ix0: int, iy0: int,
+               nx: int, ny: int) -> "np.ndarray":
+    """(nx, ny) bool grid marking cells the polygon BOUNDARY passes through.
+
+    Exact edge traversal: for each ring segment, the grid cells it passes
+    through are the floor-cells of midpoints between consecutive gridline
+    crossings (crossing parameters computed analytically, not sampled).
+    Every such cell genuinely intersects the geometry (it contains a piece
+    of the boundary), so no per-cell recheck is needed.
+    """
+    import numpy as np
+
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
     edge = np.zeros((nx, ny), dtype=bool)
     for ring in _poly_rings(geom):
         fx = (ring[:, 0] + 180.0) / w - ix0     # grid coords
@@ -176,13 +201,75 @@ def classify_cell_cover_xy(geom: model.Geometry, res: int
                 edge[exs, np.full_like(exs, int(y0) - 1)] = True
             if dx == 0.0 and x0 == np.floor(x0) and 0 <= x0 - 1 < nx:
                 edge[np.full_like(eys, int(x0) - 1), eys] = True
+    return edge
 
-    contained_m = (corners_in == 4) & ~edge
-    cxs, cys = np.nonzero(contained_m)
-    bxs, bys = np.nonzero(edge)
-    contained_xy = np.stack([cxs + ix0, cys + iy0], axis=1).astype(np.int64)
-    boundary_xy = np.stack([bxs + ix0, bys + iy0], axis=1).astype(np.int64)
-    return contained_xy, boundary_xy
+
+def cover_spans(geom: model.Geometry, res: int) -> "tuple":
+    """Scanline SPAN cover of a polygon: O(perimeter) rows, not O(area) cells.
+
+    Returns four equal-length int64/bool arrays ``(iy, x0, x1, interior)``:
+    for grid row ``iy``, cells ``x0..x1`` (inclusive, global indices) either
+    contain a piece of the boundary (``interior=False`` — candidates needing
+    the exact refine) or lie entirely inside the polygon (``interior=True`` —
+    the exact-cover shortcut).  A circle of D cells diameter covers O(D^2)
+    cells but only O(D) spans, so the broadcast side of a PIP join shrinks by
+    the cell diameter — this is what keeps the driver-side planning + the
+    broadcast exchange OUT of the Amdahl serial term at cluster scale.
+
+    Method: exact supercover edge grid (shared with
+    :func:`classify_cell_cover_xy`), then per grid row the edge-cell runs
+    become boundary spans and each gap between them is classified by ONE
+    point-in-polygon test of its first cell's center — a gap contains no
+    boundary point, so the whole gap is uniformly inside or outside.
+    """
+    import numpy as np
+
+    from geomesa_spark.geom import algos
+
+    n = 1 << res
+    w, h = 360.0 / n, 180.0 / n
+    ix0, iy0, nx, ny = _bbox_cells(geom, res)
+    edge = _edge_grid(geom, res, ix0, iy0, nx, ny).T     # (ny, nx)
+
+    def _runs(mask: "np.ndarray") -> tuple:
+        """Row-major run extraction: (row, start, end_inclusive) arrays."""
+        pad = np.zeros((mask.shape[0], mask.shape[1] + 2), dtype=np.int8)
+        pad[:, 1:-1] = mask
+        d = np.diff(pad, axis=1)
+        sy, sx = np.nonzero(d == 1)
+        ey, ex = np.nonzero(d == -1)
+        # nonzero is row-major: starts/ends pair up in order within each row
+        return sy, sx, ex - 1
+
+    by, bx0, bx1 = _runs(edge)
+    gy, gx0, gx1 = _runs(~edge)
+    if len(gy):
+        # one batched PIP call classifies every gap by its first cell center
+        cxs = -180.0 + (ix0 + gx0 + 0.5) * w
+        cys = -90.0 + (iy0 + gy + 0.5) * h
+        keep = algos.points_intersect(cxs, cys, geom)
+        gy, gx0, gx1 = gy[keep], gx0[keep], gx1[keep]
+
+    iy = np.concatenate([by, gy]).astype(np.int64) + iy0
+    x0 = np.concatenate([bx0, gx0]).astype(np.int64) + ix0
+    x1 = np.concatenate([bx1, gx1]).astype(np.int64) + ix0
+    interior = np.concatenate([np.zeros(len(by), dtype=bool),
+                               np.ones(len(gy), dtype=bool)])
+    return iy, x0, x1, interior
+
+
+def pick_span_resolution(boxes: list[tuple[float, float, float, float]],
+                         target_rows: int = 512) -> int:
+    """Finest shared resolution keeping every polygon's bbox under
+    ``target_rows`` grid rows — the span-cover analog of
+    :func:`pick_cover_resolution` (spans scale with the row count, cells
+    with its square)."""
+    res = grid.MAX_RES
+    for (_xmin, ymin, _xmax, ymax) in boxes:
+        height = max(ymax - ymin, 1e-12)
+        while res > 0 and height / (180.0 / (1 << res)) > target_rows:
+            res -= 1
+    return res
 
 
 def pick_cover_resolution(boxes: list[tuple[float, float, float, float]],

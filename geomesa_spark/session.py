@@ -29,6 +29,11 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 8 MB coalesce target (default 64 MB): aggregations with near-unique
+        # keys (tile pixels, dedup ids) are bound by reduce-side hash-map
+        # locality, and ~8 MB post-shuffle partitions keep each map in cache;
+        # AQE still coalesces small stages to single partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         # 4 MB buffered writes on the JVM<->python-worker sockets: the 64 KB

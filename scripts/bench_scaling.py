@@ -33,8 +33,14 @@ WORKER = r"""
 import json, sys, time, math
 cores = int(sys.argv[1]); rows = int(sys.argv[2]); reps = int(sys.argv[3])
 from geomesa_spark.session import get_spark
+# shuffle partitions ~8x task slots with a small AQE advisory target: the
+# pyramid's finest-level aggregation has nearly-unique keys (one pixel per
+# row), so reduce-side hash maps are the bottleneck — many small partitions
+# keep each map cache-resident (measured 2.6x on the agg stage) and AQE
+# coalesces the small queries back down.  Same setting a real cluster
+# would use (maps sized to the executor's cache, not its core count).
 spark = get_spark("scaling-bench", master=f"local[{cores}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=cores * 8)
 spark.sparkContext.setLogLevel("ERROR")
 from pyspark.sql import functions as F
 from geomesa_spark.operators.pip_join import pip_join_broadcast
@@ -56,18 +62,14 @@ for i in range(64):
     POLYS.append((f"p{i}", circle(cx, cy, 6.0 + 3.0 * (i % 7))))
     CENTERS.append((f"p{i}", cx, cy))
 
-RES = 9       # bounded cover: ~600k broadcast cells over 64 polygons; finer
-              # resolutions push the driver-side planning + broadcast build
-              # (both SERIAL at any cluster size) past 1s, which caps
-              # measurable scaling efficiency (Amdahl) without improving
-              # join throughput — the interior-cell shortcut already covers
-              # >90% of matched rows at res 9
 PARTS = 256   # fixed input split count: same "files" at every parallelism
 
 def joined(n):
+    # default resolution -> scanline SPAN cover (O(perimeter) broadcast
+    # rows): the whole per-query serial term (driver planning + broadcast
+    # exchange) stays ~1s, keeping it out of the Amdahl denominator
     imgs = synthetic_images_geo(spark, n, PARTS)
-    return pip_join_broadcast(imgs, POLYS, lon_col="lon", lat_col="lat",
-                              res=RES)
+    return pip_join_broadcast(imgs, POLYS, lon_col="lon", lat_col="lat")
 
 def weighted(j):
     centers = spark.createDataFrame(CENTERS,
@@ -280,9 +282,10 @@ size constant, so a 4N-executor cluster has 4x the total memory.
 
 Job: synthetic image+caption table ({args.rows:,} rows, BASELINE.json
 input_hint schema, fixed 256 input splits) -> broadcast PIP join against 64
-query polygons (32-vertex circles, radii 6-24 deg; res-9 cell cover built
-vectorized on the driver [numpy -> one Arrow createDataFrame], contained-cell
-shortcut, native ray-cast refine — no Python in the hot path) -> per-match
+query polygons (32-vertex circles, radii 6-24 deg; O(perimeter) scanline
+SPAN cover built vectorized on the driver, broadcast hash join on grid row
+with native x-range join filter, interior-span shortcut, native ray-cast
+refine — no Python in the hot path) -> per-match
 gaussian distance weight (great-circle to polygon centroid; DensityScan
 weight-by-expression) -> tile pyramid zooms 0/2/4/6/8 @256px.
 
