@@ -197,6 +197,27 @@ FROM g GROUP BY px, py
 """
 
 
+def q_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: marching-squares iso-contour segments of the
+    count density grid (the inverse of the density/heatmap renderer)."""
+    from geomesa_spark.operators.contours import marching_squares_sql
+    geo_events(spark, sf_dir).createOrReplaceTempView("__contour_geo")
+    body = marching_squares_sql("__contour_geo", 2.5, 32, 32,
+                                40.0, 50.0, 20.0, 30.0, "spark")
+    return spark.sql("WITH " + body)
+
+
+def _contours_oracle() -> str:
+    from geomesa_spark.operators.contours import marching_squares_sql
+    from geomesa_spark.sources.testdata import geo_events_sql
+    body = marching_squares_sql("geo", 2.5, 32, 32,
+                                40.0, 50.0, 20.0, 30.0, "duck")
+    return f"WITH geo AS ({geo_events_sql()}),\n{body}"
+
+
+Q_CONTOURS_SQL = _contours_oracle()
+
+
 def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tile pyramid zooms 0-4, 256px tiles, one pass."""
     df = geo_events(spark, sf_dir)
@@ -414,6 +435,7 @@ QUERIES = {
     "pip_join": (q_pip_join, Q_PIP_JOIN_SQL),
     "knn": (q_knn, Q_KNN_SQL),
     "density": (q_density, Q_DENSITY_SQL),
+    "contours": (q_contours, Q_CONTOURS_SQL),
     "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
     "z2_index": (q_z2_index, Q_Z2_INDEX_SQL),
     "dwithin": (q_dwithin, Q_DWITHIN_SQL),

@@ -159,7 +159,20 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
         lon, lat = utm_inverse_exprs(F.col(x_col), F.col(y_col),
                                      s % 100, south=s >= 32701)
     elif s in CRS_REGISTRY:
-        lon, lat = CRS_REGISTRY[s].inverse(F.col(x_col), F.col(y_col))
+        proj = CRS_REGISTRY[s]
+        lon, lat = proj.inverse(F.col(x_col), F.col(y_col))
+        src_datum = getattr(proj, "datum", None)
+        if src_datum is not None:
+            # stage the projected->geodetic trees as named columns, then
+            # run the datum shift as further staged projections: datum
+            # math references its inputs many times, and inlining the
+            # inverse-projection tree into each reference would square
+            # the plan (see HelmertDatum docstring)
+            df = (df.withColumn("__rp_lon", lon)
+                    .withColumn("__rp_lat", lat))
+            df = src_datum.apply(df, "__rp_lon", "__rp_lat",
+                                 "__rp_lon", "__rp_lat", to_wgs84=True)
+            lon, lat = F.col("__rp_lon"), F.col("__rp_lat")
     else:
         raise ValueError(f"unsupported source CRS: {src}")
     # lon/lat to target
@@ -170,10 +183,19 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
     elif 32601 <= d <= 32660 or 32701 <= d <= 32760:
         ox, oy = utm_exprs(lon, lat, d % 100, south=d >= 32701)
     elif d in CRS_REGISTRY:
-        ox, oy = CRS_REGISTRY[d].forward(lon, lat)
+        proj = CRS_REGISTRY[d]
+        dst_datum = getattr(proj, "datum", None)
+        if dst_datum is not None:   # WGS84 hub -> target datum, staged
+            df = (df.withColumn("__rp_lon", lon)
+                    .withColumn("__rp_lat", lat))
+            df = dst_datum.apply(df, "__rp_lon", "__rp_lat",
+                                 "__rp_lon", "__rp_lat", to_wgs84=False)
+            lon, lat = F.col("__rp_lon"), F.col("__rp_lat")
+        ox, oy = proj.forward(lon, lat)
     else:
         raise ValueError(f"unsupported target CRS: {dst}")
-    return df.withColumn(out_x, ox).withColumn(out_y, oy)
+    return (df.withColumn(out_x, ox).withColumn(out_y, oy)
+            .drop("__rp_lon", "__rp_lat"))
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +454,213 @@ class LambertAzimuthalEqualArea:
         return F.degrees(lam), F.degrees(phi)
 
 
+def _krueger(a: float, f: float) -> tuple[float, float, tuple, tuple, tuple]:
+    """(e, A_bar, alpha, beta, delta) Krüger series constants for an
+    arbitrary ellipsoid — the WGS84 module constants generalized."""
+    n = f / (2.0 - f)
+    e = _math.sqrt(f * (2.0 - f))
+    abar = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+    alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+             13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+             61 * n ** 3 / 240)
+    beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+            n ** 2 / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480)
+    delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+             7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+             56 * n ** 3 / 15)
+    return e, abar, alpha, beta, delta
+
+
+class TransverseMercator:
+    """EPSG method 9807 (Transverse Mercator) for ARBITRARY parameters —
+    ellipsoid, natural-origin latitude/longitude, scale, false offsets —
+    via the same Krüger series as the UTM fast path (state-plane TM
+    zones, British National Grid, NZTM2000...).  ``utm_exprs`` is the
+    special case (lat0=0, k0=0.9996, zone meridian, WGS84)."""
+
+    def __init__(self, a: float, f: float, phi0: float, lam0: float,
+                 k0: float, fe: float, fn: float, datum=None):
+        self.e, self.abar, self.alpha, self.beta, self.delta = _krueger(a, f)
+        self.lam0 = _math.radians(lam0)
+        self.k0, self.fe, self.fn = k0, fe, fn
+        self.datum = datum
+        # meridian arc at the natural origin, in Krüger xi units (eta = 0
+        # on the central meridian, so every cosh factor is 1)
+        p0 = _math.radians(phi0)
+        if p0 == 0.0:
+            self.xi0 = 0.0
+        else:
+            sp = _math.sin(p0)
+            t0 = _math.sinh(_math.atanh(sp) - self.e * _math.atanh(self.e * sp))
+            xi_p0 = _math.atan2(t0, 1.0)
+            self.xi0 = xi_p0 + sum(
+                aj * _math.sin(2 * j * xi_p0)
+                for j, aj in enumerate(self.alpha, start=1))
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        dlam = F.radians(lon) - F.lit(self.lam0)
+        sphi = F.sin(phi)
+        t = F.sinh(_atanh(sphi) - F.lit(self.e) * _atanh(F.lit(self.e) * sphi))
+        xi_p = F.atan2(t, F.cos(dlam))
+        eta_p = _atanh(F.sin(dlam) / F.sqrt(1.0 + t * t))
+        xi, eta = xi_p, eta_p
+        for j, aj in enumerate(self.alpha, start=1):
+            xi = xi + F.lit(aj) * F.sin(2.0 * j * xi_p) * F.cosh(2.0 * j * eta_p)
+            eta = eta + F.lit(aj) * F.cos(2.0 * j * xi_p) * F.sinh(2.0 * j * eta_p)
+        east = F.lit(self.fe) + F.lit(self.k0 * self.abar) * eta
+        north = F.lit(self.fn) + F.lit(self.k0 * self.abar) * (xi - F.lit(self.xi0))
+        return east, north
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        xi = (y - F.lit(self.fn)) / F.lit(self.k0 * self.abar) + F.lit(self.xi0)
+        eta = (x - F.lit(self.fe)) / F.lit(self.k0 * self.abar)
+        xi_p, eta_p = xi, eta
+        for j, bj in enumerate(self.beta, start=1):
+            xi_p = xi_p - F.lit(bj) * F.sin(2.0 * j * xi) * F.cosh(2.0 * j * eta)
+            eta_p = eta_p - F.lit(bj) * F.cos(2.0 * j * xi) * F.sinh(2.0 * j * eta)
+        chi = F.asin(F.sin(xi_p) / F.cosh(eta_p))
+        phi = chi
+        for j, dj in enumerate(self.delta, start=1):
+            phi = phi + F.lit(dj) * F.sin(2.0 * j * chi)
+        lam = F.atan2(F.sinh(eta_p), F.cos(xi_p))
+        return F.degrees(lam + F.lit(self.lam0)), F.degrees(phi)
+
+
+class HelmertDatum:
+    """7-parameter Helmert transformation (EPSG method 9606,
+    position-vector sign convention) between THIS datum and WGS84, plus
+    the datum's own ellipsoid — the missing piece for CRSs whose datum is
+    not WGS84/GRS80-equivalent (OSGB36, ED50...).  Planimetric: features
+    carry no ellipsoidal height, so h=0 on the source ellipsoid (the
+    standard 2D-geometry assumption; sub-mm horizontal effect).
+
+    geodetic -> geocentric XYZ -> small-angle Helmert -> geodetic on the
+    other ellipsoid (Bowring seed + two fixed-point refinements, sub-mm
+    for the |h| < 1 km pseudo-heights an ellipsoid change creates).
+
+    Applied as STAGED DataFrame projections (:meth:`apply`), not one
+    composed Column tree: the refinement references its intermediates
+    several times each, and pure Column composition would square the
+    Catalyst tree per step (a chained reprojection then hangs the
+    optimizer).  Named intermediate columns keep the tree linear —
+    CollapseProject does not duplicate non-trivial expressions consumed
+    more than once.  All per-row math is native Catalyst arithmetic.
+    """
+
+    def __init__(self, a: float, f: float, tx: float, ty: float, tz: float,
+                 rx_as: float, ry_as: float, rz_as: float, s_ppm: float):
+        self.a, self.f = a, f
+        self.t = (tx, ty, tz)
+        as_rad = _math.pi / (180.0 * 3600.0)
+        self.r = (rx_as * as_rad, ry_as * as_rad, rz_as * as_rad)
+        self.s = s_ppm * 1e-6
+
+    def apply(self, df: DataFrame, lon_col: str, lat_col: str,
+              out_lon: str, out_lat: str, *, to_wgs84: bool,
+              h_col: str | None = None,
+              out_h: str | None = None) -> DataFrame:
+        """Shift ``(lon_col, lat_col)`` degrees between this datum and
+        WGS84 (direction per ``to_wgs84``), writing ``out_lon/out_lat``.
+        Temporary ``__hd_*`` columns are dropped before returning.
+
+        ``h_col``/``out_h`` optionally carry ellipsoidal height through
+        the transform.  Without them (the 2D GIS convention, same as
+        PROJ/GeoTools 2D pipelines) each direction assumes h=0 on ITS
+        source ellipsoid, so a 2D round trip closes only to ~|h| * e^2
+        lateral error (a few cm where the ellipsoids differ by ~1 km);
+        with heights carried the round trip closes to ~1e-9 deg."""
+        if to_wgs84:
+            (a1, f1), (a2, f2) = (self.a, self.f), (WGS84_A, WGS84_F)
+        else:
+            (a1, f1), (a2, f2) = (WGS84_A, WGS84_F), (self.a, self.f)
+        e2s = f1 * (2.0 - f1)
+        e2d = f2 * (2.0 - f2)
+        b2, ep2 = a2 * (1.0 - f2), e2d / (1.0 - e2d)
+        rx, ry, rz = self.r
+
+        lam, phi = F.radians(F.col(lon_col)), F.radians(F.col(lat_col))
+        sphi = F.sin(phi)
+        nu = F.lit(a1) / F.sqrt(1.0 - F.lit(e2s) * sphi * sphi)
+        h0 = F.col(h_col) if h_col is not None else F.lit(0.0)
+        # geodetic -> geocentric on the source ellipsoid
+        df = (df
+              .withColumn("__hd_gx", (nu + h0) * F.cos(phi) * F.cos(lam))
+              .withColumn("__hd_gy", (nu + h0) * F.cos(phi) * F.sin(lam))
+              .withColumn("__hd_gz",
+                          (nu * F.lit(1.0 - e2s) + h0) * sphi))
+        gx, gy, gz = F.col("__hd_gx"), F.col("__hd_gy"), F.col("__hd_gz")
+        # small-angle Helmert, position-vector convention.  The inverse
+        # direction is the EXACT algebraic inverse X = (I-R)(X'-t)/m (to
+        # O(r^2) ~ 1e-11 rad on the rotation only) — NOT the
+        # negated-parameter shortcut, whose s*t cross term alone is
+        # ~1 cm for OSGB36 (20.5 ppm x 540 m) and breaks round trips.
+        tx, ty, tz = self.t
+        m = 1.0 + self.s
+        if to_wgs84:
+            df = (df
+                  .withColumn("__hd_x",
+                              F.lit(m) * (gx - F.lit(rz) * gy + F.lit(ry) * gz)
+                              + F.lit(tx))
+                  .withColumn("__hd_y",
+                              F.lit(m) * (F.lit(rz) * gx + gy - F.lit(rx) * gz)
+                              + F.lit(ty))
+                  .withColumn("__hd_z",
+                              F.lit(m) * (-F.lit(ry) * gx + F.lit(rx) * gy + gz)
+                              + F.lit(tz)))
+        else:
+            df = (df
+                  .withColumn("__hd_ux", (gx - F.lit(tx)) / F.lit(m))
+                  .withColumn("__hd_uy", (gy - F.lit(ty)) / F.lit(m))
+                  .withColumn("__hd_uz", (gz - F.lit(tz)) / F.lit(m)))
+            ux, uy, uz = F.col("__hd_ux"), F.col("__hd_uy"), F.col("__hd_uz")
+            df = (df
+                  .withColumn("__hd_x", ux + F.lit(rz) * uy - F.lit(ry) * uz)
+                  .withColumn("__hd_y", -F.lit(rz) * ux + uy + F.lit(rx) * uz)
+                  .withColumn("__hd_z", F.lit(ry) * ux - F.lit(rx) * uy + uz))
+        x, y, z = F.col("__hd_x"), F.col("__hd_y"), F.col("__hd_z")
+        # geocentric -> geodetic on the target ellipsoid: Bowring seed...
+        df = df.withColumn("__hd_p", F.sqrt(x * x + y * y))
+        p = F.col("__hd_p")
+        th = F.atan2(z * F.lit(a2), p * F.lit(b2))
+        s3 = F.pow(F.sin(th), F.lit(3.0))
+        c3 = F.pow(F.cos(th), F.lit(3.0))
+        df = df.withColumn("__hd_phi", F.atan2(
+            z + F.lit(ep2 * b2) * s3, p - F.lit(e2d * a2) * c3))
+        # ...+ two fixed-point refinements (each contracts the seed error
+        # by ~e^2; the seed alone is only good to ~1e-7 rad at the
+        # several-hundred-meter pseudo-heights an ellipsoid change makes)
+        for _ in range(2):
+            s = F.sin(F.col("__hd_phi"))
+            df = df.withColumn(
+                "__hd_nu", F.lit(a2) / F.sqrt(1.0 - F.lit(e2d) * s * s))
+            nu2 = F.col("__hd_nu")
+            h = p / F.cos(F.col("__hd_phi")) - nu2
+            df = df.withColumn("__hd_phi", F.atan2(
+                z, p * (1.0 - F.lit(e2d) * nu2 / (nu2 + h))))
+        out = (df
+               .withColumn(out_lon, F.degrees(F.atan2(y, x)))
+               .withColumn(out_lat, F.degrees(F.col("__hd_phi"))))
+        if out_h is not None:
+            s = F.sin(F.col("__hd_phi"))
+            nu_f = F.lit(a2) / F.sqrt(1.0 - F.lit(e2d) * s * s)
+            out = out.withColumn(
+                out_h, p / F.cos(F.col("__hd_phi")) - nu_f)
+        return out.drop("__hd_gx", "__hd_gy", "__hd_gz", "__hd_ux",
+                        "__hd_uy", "__hd_uz", "__hd_x", "__hd_y",
+                        "__hd_z", "__hd_p", "__hd_phi", "__hd_nu")
+
+
+AIRY1830_A = 6377563.396
+AIRY1830_F = 1.0 / 299.3249646
+# OSGB36 <-> WGS84 Helmert (OS national standard 7 parameters, ~5 m
+# nationwide accuracy; exact work uses the OSTN15 grid, out of scope)
+OSGB36_DATUM = HelmertDatum(AIRY1830_A, AIRY1830_F,
+                            -446.448, 125.157, -542.060,
+                            -0.1502, -0.2470, -0.8421, 20.4894)
+
+
 # parameterized CRS registry (published EPSG definitions); extensible via
 # register_crs for state-plane zones etc.
 CRS_REGISTRY: dict[int, object] = {
@@ -451,6 +680,13 @@ CRS_REGISTRY: dict[int, object] = {
     # ETRS89-extended / LAEA Europe
     3035: LambertAzimuthalEqualArea(GRS80_A, GRS80_F, 52.0, 10.0,
                                     4_321_000.0, 3_210_000.0),
+    # OSGB36 / British National Grid (Airy 1830 + OSGB36 Helmert datum)
+    27700: TransverseMercator(AIRY1830_A, AIRY1830_F, 49.0, -2.0,
+                              0.9996012717, 400_000.0, -100_000.0,
+                              datum=OSGB36_DATUM),
+    # NZGD2000 / New Zealand Transverse Mercator (GRS80, datum ~ WGS84)
+    2193: TransverseMercator(GRS80_A, GRS80_F, 0.0, 173.0, 0.9996,
+                             1_600_000.0, 10_000_000.0),
 }
 
 

@@ -19,6 +19,7 @@ polar stereographic) natively.
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from geomesa_spark.functions import crs
 
@@ -206,3 +207,111 @@ class TestLAEA:
         km, kp = _scales(spark, self.LAEA, crs.GRS80_A, crs.GRS80_F,
                          10.0, 52.0)
         assert abs(km - 1.0) < 1e-4 and abs(kp - 1.0) < 1e-4
+
+
+class TestTransverseMercator:
+    """EPSG method 9807 with arbitrary parameters + Helmert datum."""
+
+    def test_utm_special_case_matches_fast_path(self, spark):
+        """TM(lat0=0, k0=0.9996, zone meridian, WGS84) must equal the
+        dedicated utm_exprs to sub-mm — same series, same constants."""
+        from pyspark.sql import functions as F
+        tm = crs.TransverseMercator(crs.WGS84_A, crs.WGS84_F, 0.0, -87.0,
+                                    0.9996, 500_000.0, 0.0)
+        pts = [(lon, lat) for lon in (-89.9, -87.0, -84.1)
+               for lat in (-60.0, -10.0, 0.0, 33.3, 71.5)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        ex, ny = crs.utm_exprs(df.lon, df.lat, 16)
+        tx, ty = tm.forward(df.lon, df.lat)
+        rows = df.select((tx - ex).alias("dx"), (ty - ny).alias("dy")).collect()
+        for r in rows:
+            assert abs(r.dx) < 1e-6 and abs(r.dy) < 1e-6
+
+    def test_bng_projection_os_worked_example(self, spark):
+        """OS/EPSG worked example for the 27700 PROJECTION (datumless):
+        OSGB36 lat 50d30'N lon 0d30'E -> E 577274.98 N 69740.49 (cm)."""
+        proj = crs.TransverseMercator(crs.AIRY1830_A, crs.AIRY1830_F,
+                                      49.0, -2.0, 0.9996012717,
+                                      400_000.0, -100_000.0)
+        [(e, n)] = _project(spark, proj, [(0.5, 50.5)])
+        assert abs(e - 577274.98) < 0.02
+        assert abs(n - 69740.49) < 0.02
+        # natural origin lands on (FE, FN)
+        [(e0, n0)] = _project(spark, proj, [(-2.0, 49.0)])
+        assert abs(e0 - 400_000.0) < 1e-3 and abs(n0 + 100_000.0) < 1e-3
+
+    def test_bng_roundtrip_with_datum_through_reproject(self, spark):
+        """4326 -> 27700 -> 4326 closes to the 2D-convention bound.
+
+        Each direction of a 2D datum shift assumes h=0 on ITS source
+        ellipsoid (the PROJ/GeoTools 2D-pipeline convention), so the
+        round trip inherently carries ~|h| * e^2 ~ a few cm of lateral
+        non-closure where WGS84 and Airy differ by ~1.1 km; the exact
+        closure (heights carried) is tested separately below."""
+        pts = [(-5.0, 50.1), (-2.0, 53.0), (0.3, 51.5), (1.7, 52.6),
+               (-3.2, 58.6)]
+        df = spark.createDataFrame(pts, "x double, y double")
+        # ONE lineage both ways: the staged datum application must keep
+        # the plan linear (pure Column composition used to square the
+        # tree per step and hang the optimizer on exactly this chain)
+        mid = crs.reproject(df, 4326, 27700).select(
+            F.col("x2").alias("x"), F.col("y2").alias("y"))
+        back = crs.reproject(mid, 27700, 4326).collect()
+        for (lon, lat), r in zip(pts, back):
+            assert abs(r.x2 - lon) < 5e-7 and abs(r.y2 - lat) < 5e-7
+
+    def test_datum_roundtrip_exact_with_height(self, spark):
+        """With ellipsoidal height carried, the Helmert round trip closes
+        to 1e-9 deg — proving the 2D residual above is purely the h=0
+        convention, not the transform math."""
+        df = spark.createDataFrame(
+            [(-5.0, 50.1, 0.0), (0.3, 51.5, 0.0), (-3.2, 58.6, 120.0)],
+            "lon double, lat double, h double")
+        d = crs.OSGB36_DATUM
+        osgb = d.apply(df, "lon", "lat", "lon_o", "lat_o", to_wgs84=False,
+                       h_col="h", out_h="h_o")
+        back = d.apply(osgb, "lon_o", "lat_o", "lon_b", "lat_b",
+                       to_wgs84=True, h_col="h_o", out_h="h_b").collect()
+        for r in back:
+            assert abs(r.lon_b - r.lon) < 1e-9
+            assert abs(r.lat_b - r.lat) < 1e-9
+            assert abs(r.h_b - r.h) < 1e-3
+
+    def test_osgb36_datum_shift_magnitude(self, spark):
+        """WGS84 -> OSGB36 moves London coordinates by the well-known
+        ~110-130 m (mostly westward): the Helmert is actually applied."""
+        datum = crs.OSGB36_DATUM
+        df = spark.createDataFrame([(-0.1276, 51.5072)],
+                                   "lon double, lat double")
+        shifted = datum.apply(df, "lon", "lat", "lon2", "lat2",
+                              to_wgs84=False)
+        [r] = shifted.collect()
+        dlon = (r.lon2 - -0.1276) * 111_320.0 * math.cos(math.radians(51.5))
+        dlat = (r.lat2 - 51.5072) * 111_320.0
+        dist = math.hypot(dlon, dlat)
+        assert 80.0 < dist < 200.0
+        # and the shift must round-trip back, chained in one lineage
+        # (2D convention: h=0 each direction -> few-cm closure bound)
+        back = datum.apply(shifted, "lon2", "lat2", "lon3", "lat3",
+                           to_wgs84=True)
+        [r2] = back.collect()
+        assert abs(r2.lon3 - -0.1276) < 5e-7 and abs(r2.lat3 - 51.5072) < 5e-7
+
+    def test_nztm_roundtrip_and_origin(self, spark):
+        nztm = crs.CRS_REGISTRY[2193]
+        [(e0, n0)] = _project(spark, nztm, [(173.0, 0.0)])
+        assert abs(e0 - 1_600_000.0) < 1e-3 and abs(n0 - 10_000_000.0) < 1e-3
+        pts = [(lon, lat) for lon in (167.0, 173.0, 178.5)
+               for lat in (-47.3, -41.2, -34.4)]
+        out = _unproject(spark, nztm, _project(spark, nztm, pts))
+        for (lon, lat), (lon2, lat2) in zip(pts, out):
+            assert abs(lon - lon2) < 1e-8 and abs(lat - lat2) < 1e-8
+
+    def test_tm_conformal_scale(self, spark):
+        """Conformal: k_mer == k_par, and k == k0 on the central
+        meridian (BNG: 0.9996012717 at lon0=-2)."""
+        proj = crs.CRS_REGISTRY[27700]
+        km, kp = _scales(spark, proj, crs.AIRY1830_A, crs.AIRY1830_F,
+                         -2.0, 52.0)
+        assert abs(km - kp) < 1e-6
+        assert abs(km - 0.9996012717) < 1e-5
