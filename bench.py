@@ -42,9 +42,14 @@ def main() -> None:
     # ---- headline: spatial-join + tiling over the synthetic image table ----
     # (BASELINE.json metric: rows/sec through PIP join + tile pyramid)
     # warmup pass: JIT/codegen/arrow-worker startup is not throughput
+    # same plan SHAPE as the timed run (zoom count changes the rollup
+    # stage chain, and codegen/JIT is per stage shape); C2 needs a couple
+    # of passes to reach steady state
     warm = synthetic_images_geo(spark, 50_000)
-    tile_pyramid(pip_join_broadcast(warm, PIP_POLYGONS, lon_col="lon",
-                                    lat_col="lat"), [0, 2], tile_px=256).count()
+    for _ in range(2):
+        tile_pyramid(pip_join_broadcast(warm, PIP_POLYGONS, lon_col="lon",
+                                        lat_col="lat"),
+                     [0, 2, 4, 6], tile_px=256).count()
     # first from_json use pays several seconds of Jackson class loading +
     # codegen — that is session warmup, not query throughput
     spark.range(1).select(F.from_json(F.lit('{"k": 1}'), "k INT")).collect()
@@ -58,11 +63,16 @@ def main() -> None:
     spark.range(64).select(_warm(F.col("id").cast("double"))).collect()
 
     imgs = synthetic_images_geo(spark, IMAGES_ROWS)
-    t0 = time.time()
-    joined = pip_join_broadcast(imgs, PIP_POLYGONS, lon_col="lon", lat_col="lat")
-    tiles = tile_pyramid(joined, [0, 2, 4, 6], tile_px=256)
-    n_tiles = tiles.count()
-    headline_sec = time.time() - t0
+    headline_sec = None
+    for _ in range(2):           # min-of-2, like the per-query timings
+        t0 = time.time()
+        joined = pip_join_broadcast(imgs, PIP_POLYGONS,
+                                    lon_col="lon", lat_col="lat")
+        tiles = tile_pyramid(joined, [0, 2, 4, 6], tile_px=256)
+        n_tiles = tiles.count()
+        took = time.time() - t0
+        headline_sec = took if headline_sec is None else min(headline_sec,
+                                                             took)
     rows_per_sec = IMAGES_ROWS / headline_sec
 
     # ---- per-query times on the driver tables --------------------------------

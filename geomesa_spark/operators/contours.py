@@ -177,3 +177,70 @@ def contour_segments(df: DataFrame, envelope: tuple, width: int, height: int,
         (F.lit(xmin) + out.x2s / 1e6 * sx).alias("x2"),
         (F.lit(ymin) + out.y2s / 1e6 * sy).alias("y2"),
     )
+
+
+def assemble_contour_lines(segments: DataFrame, *,
+                           max_segments: int = 200_000,
+                           tol: float = 1e-6) -> list[str]:
+    """Link contour segments into WKT LINESTRINGs (closed rings repeat
+    their first point), driver-side.
+
+    Marching squares emits degree<=2 vertices, so linking is a simple
+    chain walk on rounded endpoint keys.  Bounded by ``max_segments``
+    like the export writers (write_leaflet/write_shapefile): contour
+    OUTPUT is perimeter-sized — tiny next to its input raster — so the
+    driver-side assembly bound is about misuse, not scale; a distributed
+    connected-components pass is not warranted for line rendering.
+    """
+    rows = segments.limit(max_segments + 1).collect()
+    if len(rows) > max_segments:
+        raise ValueError(
+            f"more than {max_segments} contour segments; raise "
+            f"max_segments or coarsen the grid/level")
+
+    def key(x: float, y: float) -> tuple:
+        return (round(x / tol), round(y / tol))
+
+    # adjacency: endpoint key -> list of (segment idx, other endpoint)
+    adj: dict = {}
+    segs = []
+    for i, r in enumerate(rows):
+        a, b = (r.x1, r.y1), (r.x2, r.y2)
+        if key(*a) == key(*b):
+            continue                          # degenerate (level on corner)
+        segs.append((a, b))
+        adj.setdefault(key(*a), []).append((len(segs) - 1, b))
+        adj.setdefault(key(*b), []).append((len(segs) - 1, a))
+
+    used = [False] * len(segs)
+    lines = []
+
+    def walk(start_pt, first_idx):
+        pts = [start_pt]
+        idx, cur = first_idx, start_pt
+        while True:
+            used[idx] = True
+            a, b = segs[idx]
+            nxt = b if key(*a) == key(*cur) else a
+            pts.append(nxt)
+            cont = [(j, other) for j, other in adj.get(key(*nxt), [])
+                    if not used[j]]
+            if not cont:
+                return pts
+            idx, cur = cont[0][0], nxt
+
+    # open chains first (start at degree-1 endpoints), then leftover loops
+    for pass_open in (True, False):
+        for k, ends in adj.items():
+            if pass_open and len(ends) != 1:
+                continue
+            for j, _other in ends:
+                if used[j]:
+                    continue
+                a, b = segs[j]
+                start = a if key(*a) == k else b
+                pts = walk(start, j)
+                lines.append(pts)
+    return ["LINESTRING (" +
+            ", ".join(f"{x:.7f} {y:.7f}" for x, y in pts) + ")"
+            for pts in lines]

@@ -113,3 +113,31 @@ def test_envelope_mapping(spark):
     assert out[["x1", "x2"]].values.max() < 50.0
     assert out[["y1", "y2"]].values.min() > 20.0
     assert out[["y1", "y2"]].values.max() < 30.0
+
+
+def test_assemble_contour_lines_closed_ring(spark):
+    """Single hot pixel -> ONE closed 4-segment ring (5 WKT points)."""
+    from geomesa_spark.operators.contours import assemble_contour_lines
+    out = _seg_df(spark, [(5.2, 7.3)] * 10, 4.5)
+    lines = assemble_contour_lines(out)
+    assert len(lines) == 1
+    pts = lines[0][len("LINESTRING ("):-1].split(", ")
+    assert len(pts) == 5 and pts[0] == pts[-1]
+
+
+def test_assemble_contour_lines_blob(spark):
+    """Interior blob: every assembled line is a closed ring and the total
+    vertex count equals the segment count (degree-2 everywhere)."""
+    import numpy as np
+    from geomesa_spark.operators.contours import assemble_contour_lines
+    rng = np.random.RandomState(7)
+    pts = np.clip(rng.normal(8.0, 1.6, (4000, 2)), 0.05, 15.95)
+    seg = _seg_df(spark, [tuple(p) for p in pts], 9.5)
+    n_seg = seg.count()
+    lines = assemble_contour_lines(seg)
+    total_pts = 0
+    for ln in lines:
+        p = ln[len("LINESTRING ("):-1].split(", ")
+        assert p[0] == p[-1]
+        total_pts += len(p) - 1
+    assert total_pts == n_seg
