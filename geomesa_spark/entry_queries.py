@@ -225,6 +225,50 @@ def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("zoom", "tx", "ty", "px", "py", "cnt")
 
 
+def q_date_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform processes: DateOffsetProcess (ISO-8601 duration shift,
+    here P1DT12H) + hash-bucketing a la HashAttributeProcess — the
+    oracle-checked variant buckets with the PORTABLE rolling hash
+    (functions/portable.char_fold) because scala-murmur seeds are not
+    reproducible in DuckDB; operators.processes.hash_attribute is the
+    reference-shaped native murmur path (unit-tested)."""
+    from geomesa_spark.functions import portable
+    from geomesa_spark.operators.processes import date_offset
+    df = geo_events(spark, sf_dir)
+    out = date_offset(df, "ts", "P1DT12H")
+    bucket = (F.expr(portable.char_fold("event_type", portable.SPARK))
+              % 7).cast("int")
+    return out.select(
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_off"),
+        bucket.alias("bucket"))
+
+
+def _date_offset_oracle() -> str:
+    from geomesa_spark.functions import portable
+    fold = portable.char_fold("event_type", portable.DUCK)
+    return f"""
+{GEO}
+SELECT event_id,
+       cast(epoch(ts) as bigint) + 129600 AS ts_off,
+       cast(({fold}) % 7 as int) AS bucket
+FROM geo
+"""
+
+
+Q_DATE_OFFSET_SQL = _date_offset_oracle()
+
+
+def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: pyramid level rendered to one engine-codec image blob
+    per tile (binary output — no SQL oracle; decode parity is pinned in
+    test_span_cover.test_render_tile_images_roundtrip)."""
+    from geomesa_spark.operators.tiling import render_tile_images
+    df = geo_events(spark, sf_dir)
+    t = tile_pyramid(df, [3], tile_px=64)
+    return render_tile_images(t, tile_px=64, value_col="cnt")
+
+
 Q_TILE_PYRAMID_SQL = f"""
 {GEO}, z AS (SELECT unnest([0, 1, 2, 3, 4]) AS zoom),
 g AS (
@@ -437,6 +481,8 @@ QUERIES = {
     "density": (q_density, Q_DENSITY_SQL),
     "contours": (q_contours, Q_CONTOURS_SQL),
     "tile_pyramid": (q_tile_pyramid, Q_TILE_PYRAMID_SQL),
+    "tile_render": (q_tile_render, None),
+    "date_offset": (q_date_offset, Q_DATE_OFFSET_SQL),
     "z2_index": (q_z2_index, Q_Z2_INDEX_SQL),
     "dwithin": (q_dwithin, Q_DWITHIN_SQL),
     "track_label": (q_track_label, Q_TRACK_LABEL_SQL),

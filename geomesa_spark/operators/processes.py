@@ -239,3 +239,70 @@ def convex_hull_agg(points: DataFrame, group_col: str,
     return (points.select(group_col, lon_col, lat_col)
             .groupBy(group_col).applyInPandas(hull, schema)
             .withColumnRenamed("grp", group_col))
+
+
+_ISO_DUR = None  # compiled lazily
+
+
+def parse_iso_duration_seconds(text: str) -> float:
+    """ISO-8601 duration (java.time.Duration subset: PnDTnHnMnS, negatives
+    allowed) -> seconds.  Duration has no month/year units, so the result
+    is always an exact second count (DateOffsetProcess.scala:39-41)."""
+    import re
+    global _ISO_DUR
+    if _ISO_DUR is None:
+        _ISO_DUR = re.compile(
+            r"^(?P<sign>[+-])?P(?:(?P<d>[+-]?\d+)D)?"
+            r"(?:T(?:(?P<h>[+-]?\d+)H)?(?:(?P<m>[+-]?\d+)M)?"
+            r"(?:(?P<s>[+-]?\d+(?:\.\d+)?)S)?)?$", re.IGNORECASE)
+    m = _ISO_DUR.match(text.strip())
+    if not m or text.strip().upper() in ("P", "PT"):
+        raise ValueError(f"Invalid offset {text}")
+    sec = (int(m.group("d") or 0) * 86400 + int(m.group("h") or 0) * 3600
+           + int(m.group("m") or 0) * 60 + float(m.group("s") or 0))
+    return -sec if m.group("sign") == "-" else sec
+
+
+def date_offset(df: DataFrame, date_col: str, time_offset: str) -> DataFrame:
+    """DateOffsetProcess (transform/DateOffsetProcess.scala:28-56): shift a
+    timestamp column by an ISO-8601 duration.  Native arithmetic on the
+    epoch — Duration is an exact second count, so no calendar logic."""
+    sec = parse_iso_duration_seconds(time_offset)
+    # interval arithmetic (not unix_timestamp round-trip): preserves
+    # sub-second precision on the column
+    return df.withColumn(
+        date_col, F.col(date_col) + F.expr(f"INTERVAL '{sec}' SECOND"))
+
+
+def hash_attribute(df: DataFrame, attribute: str, modulo: int,
+                   out_col: str = "hash") -> DataFrame:
+    """HashAttributeProcess (transform/HashAttributeProcess.scala:23-58):
+    append abs(murmur3(attr)) % modulo — the reference's deterministic
+    bucketing/coloring aid.
+
+    Native: Spark's `hash()` IS Murmur3 x86_32, applied to the attribute's
+    UTF-16LE bytes like the reference; the SEED differs (Spark fixes 42,
+    scala.util.hashing uses arraySeed), so bucket ASSIGNMENTS differ from
+    the JVM process while every semantic property (determinism, uniform
+    spread, stable modulo buckets) is preserved.  NULL hashes as "" per
+    the reference (`Option(...).getOrElse("")`).
+    """
+    attr = F.coalesce(F.col(attribute).cast("string"), F.lit(""))
+    h = F.hash(F.encode(attr, "UTF-16LE"))
+    return df.withColumn(out_col,
+                         (F.abs(h) % F.lit(int(modulo))).cast("int"))
+
+
+def hash_attribute_color(df: DataFrame, attribute: str, modulo: int,
+                         out_col: str = "hash") -> DataFrame:
+    """HashAttributeColorProcess: like hash_attribute but emits a stable
+    hex color from a small web-safe palette (the reference picks from a
+    fixed color list by hash index)."""
+    palette = ["#6495ED", "#B0C4DE", "#00FFFF", "#9ACD32", "#00FA9A",
+               "#FFF8DC", "#F5DEB3"]
+    bucketed = hash_attribute(df, attribute, modulo, out_col="__hac")
+    arr = F.array(*[F.lit(c) for c in palette])
+    return (bucketed
+            .withColumn(out_col, F.element_at(
+                arr, (F.col("__hac") % len(palette)) + 1))
+            .drop("__hac"))

@@ -230,3 +230,51 @@ def write_tile_pyramid(df: DataFrame, path: str, zooms: list[int], **kwargs) -> 
      .repartition("zoom", "tx")
      .sortWithinPartitions("zoom", "tx", "ty", "px", "py")
      .write.mode("overwrite").partitionBy("zoom").parquet(path))
+
+
+def render_tile_images(tiles: DataFrame, *, tile_px: int = 256,
+                       value_col: str = "weight",
+                       fmt: str = "png") -> DataFrame:
+    """Render pyramid pixels into one image blob PER TILE:
+    (zoom, tx, ty, n_px, vmax, bytes).
+
+    The raster<->vector story's last mile: tile_pyramid produces sparse
+    (pixel, weight) rows; this packs each tile's pixels into a dense
+    tile_px^2 grayscale raster (linear weight -> 0..255, per-tile max
+    normalization — the reference's DensityScan output is likewise
+    normalized by the renderer) and encodes it with the engine codec
+    (sources/images.encode_pixels; PIL/libjpeg honestly absent, the GSI1
+    blob carries real lossless/lossy semantics and decodes with
+    decode_image).
+
+    Arrow-batched grouped map: one python call per TILE, dense numpy
+    fill + one zlib pass — the per-tile work is O(tile_px^2), bounded
+    and uniform, so the stage scales with the tile count (tiles are the
+    natural output partitioning of any slippy-map serving layer).
+    Row orientation: image row 0 = NORTH edge (py = tile_px-1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_spark.sources.images import encode_pixels
+
+    out_schema = ("zoom int, tx int, ty int, n_px int, vmax double, "
+                  "bytes binary")
+
+    def render(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        zoom, tx, ty = (int(k) for k in key)
+        arr = np.zeros((tile_px, tile_px), dtype=np.float64)
+        arr[tile_px - 1 - pdf["py"].to_numpy(),
+            pdf["px"].to_numpy()] = pdf[value_col].to_numpy()
+        vmax = float(arr.max())
+        v8 = np.floor(arr / vmax * 255.0).astype(np.uint8) if vmax > 0 \
+            else arr.astype(np.uint8)
+        rgb = np.repeat(v8[:, :, None], 3, axis=2)
+        return pd.DataFrame([{
+            "zoom": zoom, "tx": tx, "ty": ty,
+            "n_px": int((pdf[value_col].to_numpy() != 0).sum()),
+            "vmax": vmax, "bytes": encode_pixels(rgb, fmt),
+        }])
+
+    return tiles.groupBy("zoom", "tx", "ty").applyInPandas(render,
+                                                           out_schema)

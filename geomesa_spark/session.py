@@ -46,6 +46,13 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # throughput collector for a batch-analytics engine: ParallelGC
+        # beats G1 by 20-35% on the shuffle-agg pipeline (measured
+        # 45-62s -> 29-53s at local[32]/48g on the 64M-row scaling job; G1
+        # pays region scanning + humongous-object handling on shuffle
+        # buffers).  defaultJavaOptions, so user extraJavaOptions override.
+        .config("spark.driver.defaultJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.defaultJavaOptions", "-XX:+UseParallelGC")
     )
 
 

@@ -171,6 +171,38 @@ def infer_avro(spark: SparkSession, path: str,
     return _promote_and_spec(spark, df, sample_rows)
 
 
+def infer_jdbc(spark: SparkSession, url: str, table: str,
+               properties: dict | None = None,
+               sample_rows: int = 100,
+               partition_column: str | None = None,
+               num_partitions: int = 8,
+               lower_bound=None, upper_bound=None) -> tuple[DataFrame, str]:
+    """JDBC ingest with the same promotion pass (the converter DSL's JDBC
+    module, geomesa-convert-jdbc JdbcConverter.scala).
+
+    Rides Spark's native JDBC source; ``partition_column`` +
+    bounds/num_partitions give the PARALLEL read (one executor query per
+    stride) — a single-connection JDBC scan is the classic accidental
+    driver bottleneck at scale.  No JDBC driver jar ships in this
+    sandbox, so a missing driver raises a descriptive error (gated, like
+    avro/kafka).
+    """
+    opts = {"url": url, "dbtable": table, **(properties or {})}
+    if partition_column is not None:
+        opts.update({"partitionColumn": partition_column,
+                     "numPartitions": str(num_partitions),
+                     "lowerBound": str(lower_bound),
+                     "upperBound": str(upper_bound)})
+    try:
+        df = spark.read.format("jdbc").options(**opts).load()
+    except Exception as e:
+        raise RuntimeError(
+            "jdbc driver unavailable: add the database's JDBC driver jar "
+            "via --jars (and spark.driver.extraClassPath) to ingest from "
+            f"{url.split(':')[1] if ':' in url else url}") from e
+    return _promote_and_spec(spark, df, sample_rows)
+
+
 def read_xml(spark: SparkSession, path: str, record_tag: str,
              fields: dict[str, str] | None = None) -> DataFrame:
     """XML ingest (the converter DSL's XML module,

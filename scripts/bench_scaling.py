@@ -88,9 +88,14 @@ def pipeline(n):
 pipeline(4_000_000).count()          # warmup: JIT/codegen, every task slot
 res = {"join_sec": [], "pipeline_sec": []}
 for _ in range(reps):
+    # collect garbage from the previous rep FIRST: carried heap debt made
+    # successive same-size runs up to 3.6x slower (measured), drowning the
+    # cross-parallelism signal in GC noise
+    spark.sparkContext._jvm.System.gc()
     t0 = time.time()
     join_rows = joined(rows).count()
     res["join_sec"].append(round(time.time() - t0, 3))
+    spark.sparkContext._jvm.System.gc()
     t1 = time.time()
     n_px = pipeline(rows).count()
     res["pipeline_sec"].append(round(time.time() - t1, 3))
@@ -200,13 +205,14 @@ def main() -> None:
         pre_steal = wait_quiet()
         calib_n = calibrate(args.n)
         with StealMeter() as steal_n:
-            # min-of-2 WITHIN the phase: the first full-size run in a fresh
+            # min-of-3 WITHIN the phase: the first full-size run in a fresh
             # JVM still carries residual JIT compilation (~30-50% slower
-            # than steady state); a warmup pass alone does not flush it
-            lo = run(args.n, args.rows, 2)
+            # than steady state; C2 keeps improving through run 2), and a
+            # warmup pass alone does not flush it
+            lo = run(args.n, args.rows, 3)
         calib_4n = calibrate(args.n * 4)
         with StealMeter() as steal_4n:
-            hi = run(args.n * 4, args.rows, 2)
+            hi = run(args.n * 4, args.rows, 3)
         ceiling = min(1.0, calib_n / calib_4n)
         eff_join = (args.rows / hi["join_sec"]) / (args.rows / lo["join_sec"]) / 4
         eff_pipe = (args.rows / hi["pipeline_sec"]) \
@@ -272,8 +278,8 @@ North rule: >= 0.8 throughput scaling efficiency between cluster sizes N
 and 4N.  Sandbox proxy (BASELINE.md protocol, r3 PAIRED form): {args.reps}
 repetitions, each running calibration + N phase + calibration + 4N phase
 BACK-TO-BACK in fresh JVMs pinned with `taskset` to exactly N / 4N physical
-CPUs (warmup pass excluded; each phase takes min-of-2 full-size runs to
-flush residual JIT), so every efficiency estimate compares throughputs
+CPUs (warmup pass excluded; each phase takes min-of-3 full-size runs with a
+System.gc() between reps, to flush residual JIT and heap debt), so every efficiency estimate compares throughputs
 measured under the same-minute host condition.  Headline = the pair with
 the least host interference (fastest combined wall time); medians across
 pairs reported alongside.  JVM memory is PROPORTIONAL to core count

@@ -77,3 +77,11 @@ def test_assemble_broadcast_path(spark, osm_dir):
          assemble_way_geoms(nodes, ways, broadcast_nodes=True).collect()}
     b = {(r.id, r.wkt) for r in assemble_way_geoms(nodes, ways).collect()}
     assert a == b
+
+
+def test_infer_jdbc_gate(spark):
+    """No JDBC driver in the sandbox: the converter raises a descriptive
+    error, not a bare ClassNotFound stack."""
+    from geomesa_spark.sources.ingest import infer_jdbc
+    with pytest.raises(RuntimeError, match="jdbc driver unavailable"):
+        infer_jdbc(spark, "jdbc:postgresql://localhost/db", "features")

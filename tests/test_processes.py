@@ -171,3 +171,53 @@ def test_pip_smj_large_polygon_set(spark, geo):
         1 for pid, x0, y0, x1, y1 in polys
         if ((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1)).any())
     assert len(got_counts) == n_nonempty
+
+
+class TestTransformProcesses:
+    """DateOffsetProcess / HashAttributeProcess parity
+    (transform/DateOffsetProcess.scala:28-56,
+    transform/HashAttributeProcess.scala:23-92)."""
+
+    def test_parse_iso_duration(self):
+        from geomesa_spark.operators.processes import \
+            parse_iso_duration_seconds as p
+        assert p("P1D") == 86400
+        assert p("PT1H30M") == 5400
+        assert p("P1DT12H") == 129600
+        assert p("-PT10S") == -10
+        assert p("PT0.5S") == 0.5
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            p("1 day")
+
+    def test_date_offset(self, spark):
+        import pandas as pd
+        from geomesa_spark.operators.processes import date_offset
+        df = spark.createDataFrame(
+            pd.DataFrame({"ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-06-15 23:30:00"])}))
+        out = date_offset(df, "ts", "P1DT12H").collect()
+        assert str(out[0].ts) == "2024-01-02 12:00:00"
+        assert str(out[1].ts) == "2024-06-17 11:30:00"
+
+    def test_hash_attribute(self, spark):
+        import pandas as pd
+        from geomesa_spark.operators.processes import hash_attribute
+        df = spark.createDataFrame(
+            pd.DataFrame({"name": ["a", "b", "a", None]}))
+        out = hash_attribute(df, "name", 10).collect()
+        hs = [r.hash for r in out]
+        assert all(0 <= h < 10 for h in hs)
+        assert hs[0] == hs[2]                    # deterministic
+        assert out[3].hash is not None           # NULL hashes as ""
+
+    def test_hash_attribute_color(self, spark):
+        import pandas as pd
+        from geomesa_spark.operators.processes import hash_attribute_color
+        df = spark.createDataFrame(
+            pd.DataFrame({"name": [f"n{i}" for i in range(40)]}))
+        out = hash_attribute_color(df, "name", 100).collect()
+        palette = {"#6495ED", "#B0C4DE", "#00FFFF", "#9ACD32", "#00FA9A",
+                   "#FFF8DC", "#F5DEB3"}          # HashAttributeProcess.scala:78-85
+        assert {r.hash for r in out} <= palette
+        assert len({r.hash for r in out}) > 1

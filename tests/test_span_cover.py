@@ -156,3 +156,48 @@ def test_tile_pyramid_single_zoom_and_dupes(spark):
     out = tile_pyramid(df, [2, 2], tile_px=256).toPandas()
     assert (out["zoom"] == 2).all()
     assert int(out["cnt"].sum()) == 3
+
+
+def test_render_tile_images_roundtrip(spark):
+    """Tile blobs decode back to the exact floor-scaled weights (lossless
+    fmt), north-up orientation, one blob per tile."""
+    import numpy as np
+    import pandas as pd
+
+    from geomesa_spark.operators.tiling import (render_tile_images,
+                                                tile_pyramid)
+    from geomesa_spark.sources.images import decode_image
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({"lon": rng.uniform(-180, 180, 5000),
+                        "lat": rng.uniform(-90, 90, 5000)})
+    tiles = tile_pyramid(spark.createDataFrame(pdf), [2], tile_px=64)
+    blobs = render_tile_images(tiles, tile_px=64, value_col="cnt").collect()
+    want = tiles.toPandas()
+    by_tile = {(r.zoom, r.tx, r.ty): r for r in blobs}
+    assert len(blobs) == len(want.groupby(["zoom", "tx", "ty"]))
+    for (z, tx, ty), grp in want.groupby(["zoom", "tx", "ty"]):
+        r = by_tile[(z, tx, ty)]
+        px = decode_image(bytes(r.bytes))
+        assert px.shape == (64, 64, 3)
+        arr = np.zeros((64, 64))
+        arr[63 - grp["py"].to_numpy(), grp["px"].to_numpy()] = \
+            grp["cnt"].to_numpy()
+        vmax = arr.max()
+        expect = np.floor(arr / vmax * 255.0).astype(np.uint8)
+        assert (px[:, :, 0] == expect).all()
+        assert (px[:, :, 0] == px[:, :, 1]).all()
+        assert abs(r.vmax - vmax) < 1e-12
+
+
+def test_span_join_is_broadcast_hash_join(spark):
+    """Plan shape: the span cover joins as a BroadcastHashJoin on the grid
+    row (equi-key) with the x-range check as a join filter — NOT a
+    BroadcastNestedLoopJoin, which would probe every span per point."""
+    from geomesa_spark.operators.pip_join import pip_join_broadcast
+    pdf = pd.DataFrame({"lon": [10.0, 20.0], "lat": [5.0, -5.0]})
+    out = pip_join_broadcast(spark.createDataFrame(pdf),
+                             [("c", _circle(10, 5, 8))])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
