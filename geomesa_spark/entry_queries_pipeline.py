@@ -321,6 +321,37 @@ SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
 """
 
 
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe sign-LSH ANN top-5: the query side additionally probes
+    every single-bit-flip neighbor key (Lv et al., VLDB'07) — recall
+    recovered without growing the corpus-side index.  Oracle: candidates
+    are exactly the pairs whose band keys differ by hamming <= 1."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_topk_multiprobe(embs, embs.where("vec_id < 5"), k=5,
+                                   bits=ann.DEFAULT_BITS)
+
+
+Q_ANN_MULTIPROBE_SQL = f"""
+WITH b AS ({_band_cte('embeddings')}),
+q AS (SELECT vec_id AS qid, embedding AS qvec, band, key
+      FROM b WHERE vec_id < 5),
+cand AS (
+  SELECT q.qid, b.vec_id,
+         max({_cos_sql('b.embedding', 'q.qvec')}) AS sim
+  FROM b JOIN q ON b.band = q.band
+              AND bit_count(xor(b.key, q.key)) <= 1
+              AND b.vec_id != q.qid
+  GROUP BY q.qid, b.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, row_number() OVER (
+           PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM cand
+)
+SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
+"""
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dups (cos >= 0.99): bucket join + exact-cosine refine
     over the materialized band-index table (one signature pass, not two)."""
@@ -341,6 +372,25 @@ pairs AS (
 SELECT id_a, id_b, CAST(floor(sim * 1e6) AS BIGINT) AS sim_ppm
 FROM pairs WHERE sim >= 0.99e0
 """
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 with nprobe == nlist (exhaustive probing): exercises
+    the full inverted-file path — Spark-ML k-means coarse quantizer,
+    list_id assignment, driver-side probe selection pushed as a broadcast
+    IN-join, exact cosine refine — while staying oracle-expressible
+    (probing every list is exactly brute-force top-k, independent of the
+    clustering; the pruned nprobe<nlist path is recall-tested in
+    tests/test_ann.py).  FAISS IndexIVFFlat design; the list_id column
+    plays the z2/s2 cell-id role on a list-partitioned layout."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_pd = (embs.where("vec_id < 5")
+                  .selectExpr("vec_id AS qid", "embedding AS qvec")
+                  .toPandas())
+    return ann.ivf_topk(embs, queries_pd, k=5, nlist=8, nprobe=8)
+
+
+Q_IVF_ANN_SQL = Q_ANN_TOPK_SQL
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,9 +437,31 @@ FROM cand WHERE hamming <= 3
 """
 
 
+def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup sweep: simhash near-dup pairs -> drop every
+    doc that duplicates a lower-id doc (dedup_keep_canonical's single
+    left-anti join) -> surviving doc ids.  The greedy keep-lowest-id
+    policy is the standard web-corpus dedup sweep."""
+    corpus = docsrc.corpus(spark, sf_dir)
+    pairs = dedup.simhash_pairs(corpus, max_hamming=3,
+                                sig_path=cache_path("simhash_sigs", sf_dir))
+    return (dedup.dedup_keep_canonical(corpus, pairs)
+            .select("doc_id"))
+
+
+_SIMHASH_PAIRS_BODY = Q_SIMHASH_PAIRS_SQL.split("SELECT id_a", 1)[0]
+
+Q_DEDUP_SWEEP_SQL = f"""
+{_SIMHASH_PAIRS_BODY}
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT id_b FROM cand WHERE hamming <= 3)
+"""
+
+
 PIPELINE_QUERIES = {
     "exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
     "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
+    "dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -399,5 +471,7 @@ PIPELINE_QUERIES = {
     "langid": (q_langid, Q_LANGID_SQL),
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
+    "ann_multiprobe": (q_ann_multiprobe, Q_ANN_MULTIPROBE_SQL),
     "embed_near_dup": (q_embed_near_dup, Q_EMBED_NEAR_DUP_SQL),
 }
