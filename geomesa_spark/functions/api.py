@@ -39,10 +39,30 @@ def _make(name: str):
     return column_fn
 
 
+def _make_convexhull():
+    """st_convexhull is an AGGREGATE (grouped-agg pandas UDF), not a row
+    function — usable in groupBy().agg() like any built-in aggregate."""
+    from geomesa_spark.functions.st_functions import _convex_hull_agg_fn
+    _convex_hull_agg_fn.__annotations__ = {"geoms": pd.Series,
+                                           "return": bytes}
+    udf = F.pandas_udf(_convex_hull_agg_fn, "binary")
+
+    def column_fn(col) -> Column:
+        return udf(col if isinstance(col, Column) else F.col(col))
+
+    column_fn.__name__ = column_fn.__qualname__ = "st_convexhull"
+    column_fn.__doc__ = "Aggregate column form of `st_convexhull`."
+    return column_fn
+
+
 def __getattr__(name: str):
     if name in FUNCTIONS:
         fn = _make(name)
         globals()[name] = fn  # cache
+        return fn
+    if name == "st_convexhull":
+        fn = _make_convexhull()
+        globals()[name] = fn
         return fn
     raise AttributeError(name)
 

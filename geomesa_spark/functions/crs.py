@@ -694,3 +694,150 @@ def register_crs(epsg: int, projection) -> None:
     """Register a parameterized projection (forward/inverse column pairs)
     for an EPSG code — the extension point for state-plane zones."""
     CRS_REGISTRY[int(epsg)] = projection
+
+
+# ---------------------------------------------------------------------------
+# numpy twin of the dispatch — st_transform's per-vertex engine
+# ---------------------------------------------------------------------------
+# Every projection above references the module-global ``F`` only through
+# functions numpy also provides (plus lit/when); swapping F for this shim
+# evaluates the SAME formula code on numpy arrays — zero formula
+# duplication between the Column path (reproject) and the per-vertex path
+# (st_transform), so the two cannot drift.  Parity is additionally pinned
+# by tests comparing both paths on the same points.
+
+class _NpWhen:
+    """np.where chain mimicking F.when(...).when(...).otherwise(...):
+    earlier branches take priority, like Catalyst CaseWhen."""
+
+    def __init__(self, cond, val):
+        self.branches = [(cond, val)]
+
+    def when(self, cond, val):
+        self.branches.append((cond, val))
+        return self
+
+    def otherwise(self, other):
+        import numpy as np
+        out = other
+        for cond, val in reversed(self.branches):
+            out = np.where(cond, val, out)
+        return out
+
+
+class _NpMath:
+    """numpy stand-in for the pyspark.sql.functions surface crs.py uses."""
+
+    def __getattr__(self, name):  # pragma: no cover - defensive
+        raise AttributeError(f"_NpMath has no numpy mapping for F.{name}")
+
+
+def _np_math() -> "_NpMath":
+    import numpy as np
+    m = _NpMath()
+    m.lit = lambda v: v
+    m.when = _NpWhen
+    m.pow = np.power
+    m.atan2 = np.arctan2
+    m.atan = np.arctan
+    m.asin = np.arcsin
+    for fn in ("sin", "cos", "tan", "sqrt", "log", "exp", "sinh", "cosh",
+               "radians", "degrees"):
+        setattr(m, fn, getattr(np, fn))
+    return m
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _numpy_funcs():
+    global F
+    prev = F
+    F = _np_math()
+    try:
+        yield
+    finally:
+        F = prev
+
+
+def _helmert_np(dt: HelmertDatum, lon, lat, *, to_wgs84: bool):
+    """HelmertDatum.apply's math on numpy arrays (h=0, 2D convention —
+    same formulas, same algebraic inverse; see apply's docstring)."""
+    import numpy as np
+    if to_wgs84:
+        (a1, f1), (a2, f2) = (dt.a, dt.f), (WGS84_A, WGS84_F)
+    else:
+        (a1, f1), (a2, f2) = (WGS84_A, WGS84_F), (dt.a, dt.f)
+    e2s, e2d = f1 * (2.0 - f1), f2 * (2.0 - f2)
+    b2, ep2 = a2 * (1.0 - f2), (f2 * (2.0 - f2)) / (1.0 - f2) ** 2
+    rx, ry, rz = dt.r
+    tx, ty, tz = dt.t
+    m = 1.0 + dt.s
+    lam, phi = np.radians(np.asarray(lon, np.float64)), \
+        np.radians(np.asarray(lat, np.float64))
+    sphi = np.sin(phi)
+    nu = a1 / np.sqrt(1.0 - e2s * sphi * sphi)
+    gx = nu * np.cos(phi) * np.cos(lam)
+    gy = nu * np.cos(phi) * np.sin(lam)
+    gz = nu * (1.0 - e2s) * sphi
+    if to_wgs84:
+        x = m * (gx - rz * gy + ry * gz) + tx
+        y = m * (rz * gx + gy - rx * gz) + ty
+        z = m * (-ry * gx + rx * gy + gz) + tz
+    else:
+        ux, uy, uz = (gx - tx) / m, (gy - ty) / m, (gz - tz) / m
+        x = ux + rz * uy - ry * uz
+        y = -rz * ux + uy + rx * uz
+        z = ry * ux - rx * uy + uz
+    p = np.sqrt(x * x + y * y)
+    th = np.arctan2(z * a2, p * b2)
+    phi2 = np.arctan2(z + ep2 * b2 * np.sin(th) ** 3,
+                      p - e2d * a2 * np.cos(th) ** 3)
+    for _ in range(2):
+        s = np.sin(phi2)
+        nu2 = a2 / np.sqrt(1.0 - e2d * s * s)
+        h = p / np.cos(phi2) - nu2
+        phi2 = np.arctan2(z, p * (1.0 - e2d * nu2 / (nu2 + h)))
+    return np.degrees(np.arctan2(y, x)), np.degrees(phi2)
+
+
+def transform_points_np(x, y, src: str | int, dst: str | int):
+    """reproject()'s CRS dispatch evaluated on numpy arrays (no
+    SparkSession) — the per-vertex engine behind st_transform.  Same
+    supported-CRS surface; unknown codes raise ValueError."""
+    import numpy as np
+    s, d = _parse_epsg(src), _parse_epsg(dst)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    # numpy evaluates BOTH branches of a when() eagerly (Catalyst doesn't):
+    # guarded divides (e.g. LAEA's rho=0 origin) emit spurious warnings
+    # before np.where masks them
+    with _numpy_funcs(), np.errstate(divide="ignore", invalid="ignore"):
+        if s == 4326:
+            lon, lat = x, y
+        elif s == 3857:
+            lon, lat = from_mercator_lon(x), from_mercator_lat(y)
+        elif 32601 <= s <= 32660 or 32701 <= s <= 32760:
+            lon, lat = utm_inverse_exprs(x, y, s % 100, south=s >= 32701)
+        elif s in CRS_REGISTRY:
+            proj = CRS_REGISTRY[s]
+            lon, lat = proj.inverse(x, y)
+            if getattr(proj, "datum", None) is not None:
+                lon, lat = _helmert_np(proj.datum, lon, lat, to_wgs84=True)
+        else:
+            raise ValueError(f"unsupported source CRS: {src}")
+        if d == 4326:
+            ox, oy = lon, lat
+        elif d == 3857:
+            ox, oy = to_mercator_x(lon), to_mercator_y(lat)
+        elif 32601 <= d <= 32660 or 32701 <= d <= 32760:
+            ox, oy = utm_exprs(lon, lat, d % 100, south=d >= 32701)
+        elif d in CRS_REGISTRY:
+            proj = CRS_REGISTRY[d]
+            if getattr(proj, "datum", None) is not None:
+                lon, lat = _helmert_np(proj.datum, lon, lat, to_wgs84=False)
+            ox, oy = proj.forward(lon, lat)
+        else:
+            raise ValueError(f"unsupported target CRS: {dst}")
+    return np.asarray(ox, np.float64), np.asarray(oy, np.float64)

@@ -332,6 +332,101 @@ def _shift(g: model.Geometry, dx: float, dy: float) -> model.Geometry:
     return model.GeometryCollection([_shift(c, dx, dy) for c in g.geoms])
 
 
+def _make_valid(g: model.Geometry):
+    """ST_MakeValid (GeometricProcessingFunctions.scala:64-67, JTS
+    GeometryFixer): the deterministic subset — drop repeated consecutive
+    vertices, drop degenerate rings (< 3 distinct points, which collapse
+    to nothing per GeometryFixer), orient shells CCW / holes CW, and
+    collapse degenerate linestrings to points.  Self-intersection
+    node-splitting (the full fixer) is out of scope and documented."""
+    from geomesa_spark.geom.algos import _ring_area
+
+    def dedupe(c: np.ndarray) -> np.ndarray:
+        if len(c) < 2:
+            return c
+        keep = np.ones(len(c), dtype=bool)
+        keep[1:] = np.any(c[1:] != c[:-1], axis=1)
+        return c[keep]
+
+    if isinstance(g, model.Point):
+        return g
+    if isinstance(g, model.LineString):
+        c = dedupe(g.coords)
+        if len(c) == 1:
+            return model.Point(c[0, 0], c[0, 1])
+        return model.LineString(c)
+    if isinstance(g, model.Polygon):
+        def fix_ring(r, ccw: bool):
+            r = dedupe(r[:-1]) if len(r) > 1 else r
+            if len(np.unique(r, axis=0)) < 3:
+                return None
+            ring = np.vstack([r, r[:1]])
+            if (_ring_area(ring) > 0) != ccw:
+                ring = ring[::-1]
+            return ring
+        shell = fix_ring(g.shell, ccw=True)
+        if shell is None:
+            return None
+        holes = [h for h in (fix_ring(h, ccw=False) for h in g.holes)
+                 if h is not None]
+        return model.Polygon(shell, holes)
+    if isinstance(g, model.MultiPoint):
+        return g
+    if isinstance(g, model.MultiLineString):
+        return model.MultiLineString(
+            [v for v in (_make_valid(l) for l in g.lines)
+             if isinstance(v, model.LineString)])
+    if isinstance(g, model.MultiPolygon):
+        polys = [v for v in (_make_valid(p) for p in g.polygons)
+                 if v is not None]
+        return model.MultiPolygon(polys) if polys else None
+    return model.GeometryCollection(
+        [v for v in (_make_valid(c) for c in g.geoms) if v is not None])
+
+
+def _map_coords(g: model.Geometry, fn) -> model.Geometry:
+    """Apply ``fn(x_array, y_array) -> (x', y')`` to every vertex."""
+    if isinstance(g, model.Point):
+        x, y = fn(np.array([g.x]), np.array([g.y]))
+        return model.Point(float(x[0]), float(y[0]))
+    if isinstance(g, model.LineString):
+        x, y = fn(g.coords[:, 0], g.coords[:, 1])
+        return model.LineString(np.column_stack([x, y]))
+    if isinstance(g, model.Polygon):
+        def ring(r):
+            x, y = fn(r[:, 0], r[:, 1])
+            return np.column_stack([x, y])
+        return model.Polygon(ring(g.shell), [ring(h) for h in g.holes])
+    if isinstance(g, model.MultiPoint):
+        return model.MultiPoint([_map_coords(p, fn) for p in g.points])
+    if isinstance(g, model.MultiLineString):
+        return model.MultiLineString([_map_coords(l, fn) for l in g.lines])
+    if isinstance(g, model.MultiPolygon):
+        return model.MultiPolygon([_map_coords(p, fn) for p in g.polygons])
+    return model.GeometryCollection([_map_coords(c, fn) for c in g.geoms])
+
+
+def _transform(s: pd.Series, src: pd.Series, dst: pd.Series) -> pd.Series:
+    """ST_Transform (sql/GeometricDistanceFunctions.scala:31-37): per-row
+    CRS codes like the reference ('EPSG:4326'); the per-vertex math is the
+    SAME formula code the native reproject() runs, evaluated on numpy
+    (functions/crs.transform_points_np)."""
+    from geomesa_spark.functions.crs import transform_points_np
+    out = [None] * len(s)
+    # group rows by (src, dst) so each unique code pair dispatches once
+    codes = pd.DataFrame({"f": src.values, "t": dst.values})
+    for (fc, tc), idx in codes.groupby(["f", "t"]).groups.items():
+        def fn(x, y, _fc=fc, _tc=tc):
+            return transform_points_np(x, y, _fc, _tc)
+        for i in idx:
+            v = s.iloc[i]
+            if v is None or fc is None or tc is None:
+                continue
+            g = wkb_loads(bytes(v))
+            out[i] = wkb_dumps(_map_coords(g, fn))
+    return pd.Series(out)
+
+
 def _geojson_coords(g: model.Geometry):
     if isinstance(g, model.Point):
         return [g.x, g.y]
@@ -517,6 +612,34 @@ def _aggregate_distance_sphere(arr: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=np.float64)
 
 
+def _distance_spheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    """WGS84-ellipsoid geodesic (Vincenty) distance, first-coordinate
+    semantics like the reference's GeodeticCalculator path
+    (GeometricDistanceFunctions.scala:22-23)."""
+    if _all_points(a) and _all_points(b):
+        ax, ay = _point_arrays(a)
+        bx, by = _point_arrays(b)
+        return pd.Series(algos.vincenty_m(ax, ay, bx, by))
+    vals = []
+    for x, y in zip(_parse_series(a), _parse_series(b)):
+        vals.append(None if x is None or y is None
+                    else algos.distance_spheroid(x, y))
+    return pd.Series(vals, dtype=np.float64)
+
+
+def _aggregate_distance_spheroid(arr: pd.Series) -> pd.Series:
+    """Spheroid companion of _aggregate_distance_sphere
+    (GeometricDistanceFunctions.scala:26)."""
+    out = []
+    for v in arr:
+        if v is None or len(v) < 2 or v[0] is None or v[1] is None:
+            out.append(None)
+            continue
+        g0, g1 = wkb_loads(bytes(v[0])), wkb_loads(bytes(v[1]))
+        out.append(algos.distance_spheroid(g0, g1))
+    return pd.Series(out, dtype=np.float64)
+
+
 # ---------------------------------------------------------------------------
 # registration table
 # ---------------------------------------------------------------------------
@@ -621,7 +744,7 @@ FUNCTIONS: dict[str, tuple] = {
     "st_geoHash": (_geohash_encode, _S),
     # processing (GeometricProcessingFunctions.scala)
     "st_bufferPoint": (_buffer_point, _B),
-    "st_makeValid": (_geom_transform(lambda g: g), _B),
+    "st_makeValid": (_geom_transform(_make_valid), _B),
     "st_antimeridianSafeGeom": (_geom_transform(_antimeridian_safe), _B),
     # relations + measures (SpatialRelationFunctions.scala)
     "st_contains": (_binary_predicate(algos.contains, points_fn=None), _BOOL),
@@ -646,13 +769,56 @@ FUNCTIONS: dict[str, tuple] = {
     "st_centroid": (_geom_transform(lambda g: g.centroid()), _B),
     "st_distance": (_distance_fn("planar"), _D),
     "st_distanceSphere": (_distance_fn("sphere"), _D),
-    "st_distanceSpheroid": (_distance_fn("sphere"), _D),
+    "st_distanceSpheroid": (_distance_spheroid, _D),
+    "st_lengthSpheroid": (_measure(algos.length_spheroid_m), _D),
+    "st_aggregateDistanceSpheroid": (_aggregate_distance_spheroid, _D),
     "st_closestPoint": (_closest_point, _B),
     "st_intersection": (_intersection, _B),
     "st_difference": (_difference, _B),
     "st_translate": (_translate, _B),
+    "st_transform": (_transform, _B),
     "st_aggregateDistanceSphere": (_aggregate_distance_sphere, _D),
 }
+
+# registered aliases (the reference registers several functions under two
+# names: SpatialRelationFunctions.scala:78 st_idlSafeGeom,
+# GeometricConstructorFunctions st_geometryFromText,
+# GeometricCastFunctions st_box2DFromGeoHash)
+FUNCTIONS["st_geometryFromText"] = FUNCTIONS["st_geomFromWKT"]
+FUNCTIONS["st_idlSafeGeom"] = FUNCTIONS["st_antimeridianSafeGeom"]
+FUNCTIONS["st_box2DFromGeoHash"] = FUNCTIONS["st_geomFromGeoHash"]
+
+
+def _convex_hull_geom(pts: np.ndarray):
+    """Hull points -> JTS-shaped result: Point / LineString / Polygon."""
+    hull = algos.convex_hull_points(pts)
+    if len(hull) == 0:
+        return None
+    if len(hull) == 1:
+        return model.Point(hull[0, 0], hull[0, 1])
+    if len(hull) == 2:
+        return model.LineString(hull)
+    return model.Polygon(np.vstack([hull, hull[:1]]))
+
+
+def _convex_hull_agg_fn(geoms: pd.Series):
+    """st_convexhull UDAF (udaf/ConvexHull.scala:16-50): hull of every
+    vertex of every geometry in the group.  Grouped-agg pandas UDF — the
+    partial/merge fold the reference implements by hand is Spark's
+    grouped aggregation here."""
+    pts = []
+    for v in geoms:
+        if v is None:
+            continue
+        g = wkb_loads(bytes(v))
+        for comp in g._components():
+            c = comp._all_coords()
+            if len(c):
+                pts.append(c)
+    if not pts:
+        return None
+    g = _convex_hull_geom(np.vstack(pts))
+    return None if g is None else wkb_dumps(g)
 
 
 def register(spark) -> None:
@@ -666,3 +832,9 @@ def register(spark) -> None:
         fn.__annotations__ = {p: pd.Series for p in params}
         fn.__annotations__["return"] = pd.Series
         spark.udf.register(name, F.pandas_udf(fn, rtype))
+
+    # st_convexhull is an AGGREGATE (SpatialRelationFunctions.scala:119)
+    _convex_hull_agg_fn.__annotations__ = {"geoms": pd.Series,
+                                           "return": bytes}
+    spark.udf.register("st_convexhull",
+                       F.pandas_udf(_convex_hull_agg_fn, "binary"))

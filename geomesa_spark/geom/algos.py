@@ -137,6 +137,124 @@ def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
 
 
+# WGS84 ellipsoid — the reference's spheroid measures run GeoTools'
+# GeodeticCalculator on DefaultGeographicCRS.WGS84
+# (spark/sql/GeometricDistanceFunctions.scala:55-66)
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def vincenty_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Vincenty inverse geodesic distance on the WGS84 ellipsoid, meters,
+    vectorized (T. Vincenty, Survey Review 23:176, 1975 — the published
+    iteration GeoTools' GeodeticCalculator descends from).  Coincident
+    points return 0; the nearly-antipodal non-convergent corner returns
+    the last iterate (sub-0.1% there, exact elsewhere)."""
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    a, f = WGS84_A, WGS84_F
+    b = (1.0 - f) * a
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    sinSigma = np.zeros_like(lam)
+    cosSigma = np.ones_like(lam)
+    sigma = np.zeros_like(lam)
+    cos2Alpha = np.ones_like(lam)
+    cos2SigmaM = np.zeros_like(lam)
+    for _ in range(200):
+        sinLam, cosLam = np.sin(lam), np.cos(lam)
+        sinSigma = np.sqrt((cosU2 * sinLam) ** 2
+                           + (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) ** 2)
+        cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+        sigma = np.arctan2(sinSigma, cosSigma)
+        safe_sin = np.where(sinSigma == 0.0, 1.0, sinSigma)
+        sinAlpha = np.where(sinSigma == 0.0, 0.0,
+                            cosU1 * cosU2 * sinLam / safe_sin)
+        cos2Alpha = 1.0 - sinAlpha ** 2
+        safe_c2a = np.where(cos2Alpha == 0.0, 1.0, cos2Alpha)
+        # equatorial lines: cos2Alpha == 0 -> cos2SigmaM := 0
+        cos2SigmaM = np.where(cos2Alpha == 0.0, 0.0,
+                              cosSigma - 2.0 * sinU1 * sinU2 / safe_c2a)
+        C = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+        lam_new = L + (1.0 - C) * f * sinAlpha * (
+            sigma + C * sinSigma * (cos2SigmaM + C * cosSigma
+                                    * (-1.0 + 2.0 * cos2SigmaM ** 2)))
+        if np.all(np.abs(lam_new - lam) < 1e-12):
+            lam = lam_new
+            break
+        lam = lam_new
+    u2 = cos2Alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dSigma = B * sinSigma * (
+        cos2SigmaM + B / 4.0 * (cosSigma * (-1.0 + 2.0 * cos2SigmaM ** 2)
+                                - B / 6.0 * cos2SigmaM
+                                * (-3.0 + 4.0 * sinSigma ** 2)
+                                * (-3.0 + 4.0 * cos2SigmaM ** 2)))
+    return np.where(sinSigma == 0.0, 0.0, b * A * (sigma - dSigma))
+
+
+def convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain over an (n, 2) array -> CCW hull vertices
+    (no closing repeat).  Collinear points are dropped (strict turns),
+    matching JTS ConvexHull output."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+
+    def half(points_sorted):
+        out = []
+        for p in points_sorted:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    srt = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    lower, upper = half(srt), half(srt[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def first_coord(geom):
+    """Geometry's first coordinate — JTS Geometry.getCoordinate parity
+    (the reference's spheroid distance is first-coordinate-to-first-
+    coordinate, GeometricDistanceFunctions.scala:22-23)."""
+    for comp in geom._components():
+        pts = comp._all_coords()
+        if len(pts):
+            return float(pts[0, 0]), float(pts[0, 1])
+    return None
+
+
+def distance_spheroid(a, b) -> float:
+    """WGS84-ellipsoid geodesic distance between the two geometries' first
+    coordinates (reference semantics: point inputs)."""
+    ca, cb = first_coord(a), first_coord(b)
+    if ca is None or cb is None:
+        return float("nan")
+    return float(vincenty_m(ca[0], ca[1], cb[0], cb[1]))
+
+
+def length_spheroid_m(geom) -> float:
+    """Ellipsoidal length: Vincenty over consecutive LineString vertices
+    (ST_LengthSpheroid, GeometricDistanceFunctions.scala:28-29)."""
+    from geomesa_spark.geom import model
+    total = 0.0
+    for comp in geom._components():
+        if isinstance(comp, model.LineString):
+            c = comp.coords
+            total += float(vincenty_m(c[:-1, 0], c[:-1, 1],
+                                      c[1:, 0], c[1:, 1]).sum())
+    return total
+
+
 # --------------------------------------------------------------------------
 # scalar geometry-geometry predicates
 # --------------------------------------------------------------------------
