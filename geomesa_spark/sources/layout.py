@@ -132,6 +132,41 @@ def append_indexed(df: DataFrame, path: str) -> None:
     _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))
 
 
+def write_bucketed(df: DataFrame, name: str, path: str,
+                   bucket_cols: list[str], n_buckets: int = 16,
+                   sort_cols: list[str] | None = None,
+                   fmt: str = "parquet", mode: str = "overwrite") -> DataFrame:
+    """Bucketed catalog table: Spark's shuffle-free co-located join layout.
+
+    Two tables written with the SAME ``(bucket_cols, n_buckets)`` spec
+    equi-join on those columns with NO Exchange on either side — the
+    bucket id is the physical partition, so a sort-merge join reads
+    matching buckets pairwise (the scale answer for recurring fact/dim
+    joins: the 100 TB side shuffles ONCE at write time, never per query).
+    ``sort_cols`` additionally sorts within buckets, eliminating the
+    per-query sort too.  The reference reaches the same co-location
+    through its pre-split backend tables keyed by the join attribute
+    (attribute index join-back, AttributeJoinIndex.scala:19-56); Spark's
+    native form is bucketBy + saveAsTable (catalog metadata carries the
+    bucket spec — a plain .parquet(path) write cannot).
+
+    Returns the catalog-backed DataFrame.
+    """
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {name}")
+    # one writer task per bucket -> ONE file per bucket: Spark only trusts
+    # sortBy metadata (skipping the per-query Sort under SMJ) when each
+    # bucket is a single file; this also prevents the files-per-bucket
+    # explosion (tasks x buckets) on wide writes
+    df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (df.write.format(fmt).mode(mode).option("path", path)
+              .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def _cell_expr(manifest: dict, df: DataFrame):
     lon, lat = F.col(manifest["lon_col"]), F.col(manifest["lat_col"])
     if manifest.get("cell", "z2") == "s2":

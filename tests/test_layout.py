@@ -240,3 +240,64 @@ def test_append_salts_by_recorded_key(spark, tmp_path):
               extra.select("fid", salt_col(F.col("fid"), 4).alias("s"))
               .collect()}
     assert all(expect[r.fid] == r.salt for r in got)
+
+
+class TestBucketedJoin:
+    """write_bucketed: the shuffle-free co-located join layout (Spark
+    bucketBy analog of AttributeJoinIndex's pre-split attribute tables)."""
+
+    @pytest.fixture()
+    def bucketed_pair(self, spark, tmp_path):
+        from geomesa_spark.sources.layout import write_bucketed
+        import pandas as pd
+        import numpy as np
+        rng = np.random.RandomState(9)
+        facts = pd.DataFrame({
+            "k": rng.randint(0, 200, 5000),
+            "v": rng.uniform(0, 1, 5000)})
+        dims = pd.DataFrame({
+            "k": np.arange(200), "label": [f"d{i}" for i in range(200)]})
+        fa = write_bucketed(spark.createDataFrame(facts), "bj_facts",
+                            str(tmp_path / "facts"), ["k"], 8,
+                            sort_cols=["k"])
+        di = write_bucketed(spark.createDataFrame(dims), "bj_dims",
+                            str(tmp_path / "dims"), ["k"], 8,
+                            sort_cols=["k"])
+        yield fa, di, facts, dims
+        spark.sql("DROP TABLE IF EXISTS bj_facts")
+        spark.sql("DROP TABLE IF EXISTS bj_dims")
+
+    def test_join_has_no_exchange(self, spark, bucketed_pair):
+        fa, di, _, _ = bucketed_pair
+        # forbid broadcast so the co-location itself must carry the join
+        with_conf = [("spark.sql.autoBroadcastJoinThreshold", "-1"),
+                     ("spark.sql.adaptive.enabled", "false"),
+                     # since 3.0 Spark ignores bucket sortBy ordering
+                     # unless this opt-in is set (needs 1 file/bucket,
+                     # which write_bucketed guarantees via repartition)
+                     ("spark.sql.legacy.bucketedTableScan.outputOrdering",
+                      "true")]
+        saved = {k: spark.conf.get(k) for k, _ in with_conf}
+        try:
+            for k, v in with_conf:
+                spark.conf.set(k, v)
+            joined = fa.join(di, "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # bucket-local sort satisfied by sortBy: no per-query Sort
+            # above the scans either
+            assert plan.count("Sort ") == 0, plan
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    def test_join_results_correct(self, spark, bucketed_pair):
+        fa, di, facts, dims = bucketed_pair
+        got = fa.join(di, "k").count()
+        assert got == len(facts)  # every fact key exists in dims
+
+    def test_bucket_pruning_filter(self, spark, bucketed_pair):
+        fa, _, facts, _ = bucketed_pair
+        got = fa.where("k = 17").count()
+        assert got == int((facts["k"] == 17).sum())
