@@ -655,10 +655,18 @@ class HelmertDatum:
 AIRY1830_A = 6377563.396
 AIRY1830_F = 1.0 / 299.3249646
 # OSGB36 <-> WGS84 Helmert (OS national standard 7 parameters, ~5 m
-# nationwide accuracy; exact work uses the OSTN15 grid, out of scope)
+# nationwide accuracy; exact work uses the OSTN15 grid, out of scope).
+# HelmertDatum's convention is THIS-DATUM -> WGS84 in the to_wgs84=True
+# direction, so these are the published OSGB36->WGS84 values — the
+# negation of the (more often quoted) WGS84->OSGB36 set
+# (tx -446.448, ty +125.157, tz -542.060, rx -0.1502", ry -0.2470",
+# rz -0.8421", s +20.4894 ppm).  Verified against the Greenwich transit
+# circle (WGS84 lon -0.001475 deg <-> OSGB36 lon 0) and GeoTools'
+# EPSG:4326 -> EPSG:27700 output (SparkSQLGeometricDistanceFunctionsTest
+# golden point, matched to ~1 m).
 OSGB36_DATUM = HelmertDatum(AIRY1830_A, AIRY1830_F,
-                            -446.448, 125.157, -542.060,
-                            -0.1502, -0.2470, -0.8421, 20.4894)
+                            446.448, -125.157, 542.060,
+                            0.1502, 0.2470, 0.8421, -20.4894)
 
 
 # parameterized CRS registry (published EPSG definitions); extensible via

@@ -297,6 +297,29 @@ class TestTransverseMercator:
         [r2] = back.collect()
         assert abs(r2.lon3 - -0.1276) < 5e-7 and abs(r2.lat3 - 51.5072) < 5e-7
 
+    def test_osgb36_datum_direction(self):
+        """Direction-pinning goldens (magnitude alone round-trips fine
+        with either sign — this is what caught the reversed Helmert):
+        (a) Airy transit circle: WGS84 lon -0.001475 -> OSGB36 lon ~ 0
+        (the WGS84 meridian passes ~102 m EAST of the OSGB36 one);
+        (b) GeoTools' EPSG:4326 -> 27700 golden point from the reference
+        test suite, matched to < 5 cm."""
+        lon, lat = crs._helmert_np(crs.OSGB36_DATUM, [-0.001475],
+                                   [51.477811], to_wgs84=False)
+        assert abs(lon[0]) < 5e-4  # ~35 m bound; reversed sign gives -3e-3
+        x, y = crs.transform_points_np([-0.871722], [52.023636],
+                                       4326, 27700)
+        assert abs(x[0] - 477514.0081191745) < 0.05
+        assert abs(y[0] - 236736.03179981868) < 0.05
+
+    def test_osgb36_datum_direction_column_path(self, spark):
+        """Same golden through the native Column reproject path."""
+        df = spark.createDataFrame([(-0.871722, 52.023636)],
+                                   "x double, y double")
+        [r] = crs.reproject(df, 4326, 27700).collect()
+        assert abs(r.x2 - 477514.0081191745) < 0.05
+        assert abs(r.y2 - 236736.03179981868) < 0.05
+
     def test_nztm_roundtrip_and_origin(self, spark):
         nztm = crs.CRS_REGISTRY[2193]
         [(e0, n0)] = _project(spark, nztm, [(173.0, 0.0)])
@@ -315,3 +338,57 @@ class TestTransverseMercator:
                          -2.0, 52.0)
         assert abs(km - kp) < 1e-6
         assert abs(km - 0.9996012717) < 1e-5
+
+
+class TestPublishedWorkedExamples:
+    """Absolute goldens from EPSG Guidance Note 7-2 / Snyder worked
+    examples, evaluated through the numpy twin (same formula code as the
+    Column path — parity pinned elsewhere).  Property tests (round-trip,
+    conformality, equal-area) cannot catch a mirrored axis or datum sign;
+    these can."""
+
+    def test_lcc_2sp_epsg_example(self):
+        # NAD27 Texas South Central (Clarke 1866), EPSG 9802 example:
+        # lat 28d30'N lon 96dW -> E 2963503.91 ftUS, N 254759.80 ftUS
+        import numpy as np
+        ft = 0.3048006096012192
+        p = crs.LambertConformal2SP(6378206.400, 1 / 294.97870,
+                                    28 + 23 / 60, 30 + 17 / 60,
+                                    27 + 50 / 60, -99.0,
+                                    2_000_000 * ft, 0.0)
+        with crs._numpy_funcs():
+            x, y = p.forward(np.array([-96.0]), np.array([28.5]))
+        assert abs(float(x[0]) / ft - 2963503.91) < 0.02
+        assert abs(float(y[0]) / ft - 254759.80) < 0.02
+
+    def test_polar_stereo_b_epsg_example(self):
+        # EPSG 9829 example: WGS84, std parallel 71S, origin lon 70E,
+        # FE=FN=6000000: lat 75S lon 120E -> E 7255380.79, N 7053389.56
+        import numpy as np
+        p = crs.PolarStereographicB(crs.WGS84_A, crs.WGS84_F, -71.0, 70.0,
+                                    6_000_000.0, 6_000_000.0)
+        with crs._numpy_funcs():
+            x, y = p.forward(np.array([120.0]), np.array([-75.0]))
+        assert abs(float(x[0]) - 7255380.79) < 0.02
+        assert abs(float(y[0]) - 7053389.56) < 0.02
+
+    def test_laea_epsg_example(self):
+        # EPSG 9820 example (the EPSG:3035 parameters):
+        # lat 50N lon 5E -> E 3962799.45, N 2999718.85
+        import numpy as np
+        p = crs.CRS_REGISTRY[3035]
+        with crs._numpy_funcs():
+            x, y = p.forward(np.array([5.0]), np.array([50.0]))
+        assert abs(float(x[0]) - 3962799.45) < 0.02
+        assert abs(float(y[0]) - 2999718.85) < 0.02
+
+    def test_albers_snyder_example(self):
+        # Snyder p.292: Clarke 1866, phi1=29.5 phi2=45.5 phi0=23 lam0=96W,
+        # lat 35N lon 75W -> x 1885472.7, y 1535925.0
+        import numpy as np
+        a = crs.AlbersEqualArea(6378206.4, 1 / 294.97870, 29.5, 45.5,
+                                23.0, -96.0, 0.0, 0.0)
+        with crs._numpy_funcs():
+            x, y = a.forward(np.array([-75.0]), np.array([35.0]))
+        assert abs(float(x[0]) - 1885472.7) < 0.1
+        assert abs(float(y[0]) - 1535925.0) < 0.1

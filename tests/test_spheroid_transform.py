@@ -40,6 +40,15 @@ class TestVincenty:
         d = vincenty_m([0, 0], [0, 0], [1, 2], [0, 0])
         assert d.shape == (2,) and d[1] > d[0] > 0
 
+    def test_geotools_chicago_goldens(self):
+        """The reference's own expected values
+        (SparkSQLGeometricDistanceFunctionsTest.scala:69-70: GeoTools
+        GeodeticCalculator on the chicago fixture pairs)."""
+        assert float(vincenty_m(-76.5, 38.5, -77.0, 38.0)) == pytest.approx(
+            70681.00230533126, abs=1e-5)
+        assert float(vincenty_m(-77.0, 38.0, -78.0, 39.0)) == pytest.approx(
+            141178.0595870745, abs=1e-5)
+
     def test_geometry_first_coord_semantics(self):
         # reference: Geometry.getCoordinate (FIRST vertex), not nearest
         a = wkt_loads("LINESTRING (0 0, 10 10)")
@@ -134,6 +143,21 @@ class TestSparkSurface(object):
             "'POLYGON ((0 0, 0 1, 0 1, 1 1, 1 0, 0 0))'))) AS w"
         ).collect()[0]
         assert row.w == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+
+    def test_st_transform_osgb_golden(self, spark):
+        """The reference's own golden
+        (SparkSQLGeometricDistanceFunctionsTest.scala:104-110): WGS84
+        POINT(-0.871722 52.023636) -> EPSG:27700
+        POINT(477514.008 236736.032).  Matching GeoTools' output requires
+        the DATUM DIRECTION to be right (a sign-reversed Helmert is ~200 m
+        off here while still round-tripping perfectly)."""
+        row = spark.sql(
+            "SELECT st_transform(st_geomFromWKT("
+            "'POINT (-0.871722 52.023636)'), 'EPSG:4326', 'EPSG:27700')"
+            " AS g").collect()[0]
+        g = wkb_loads(bytes(row.g))
+        assert g.x == pytest.approx(477514.0081191745, abs=0.05)
+        assert g.y == pytest.approx(236736.03179981868, abs=0.05)
 
     def test_st_transform_polygon_roundtrip(self, spark):
         row = spark.sql(
