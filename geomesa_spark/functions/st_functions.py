@@ -170,13 +170,16 @@ def _num_geometries(g: model.Geometry) -> int:
 
 
 def _geometry_n(s: pd.Series, n: pd.Series) -> pd.Series:
+    """ONE-based like the reference (GeometricAccessorFunctions.scala:
+    29-31: n in [1, numGeometries], out-of-range -> null)."""
     out = []
     for g, i in zip(_parse_series(s), n):
         if g is None or i is None:
             out.append(None)
             continue
         comps = g._components()
-        out.append(wkb_dumps(comps[int(i)]) if 0 <= int(i) < len(comps) else None)
+        out.append(wkb_dumps(comps[int(i) - 1])
+                   if 0 < int(i) <= len(comps) else None)
     return pd.Series(out)
 
 
@@ -711,10 +714,11 @@ FUNCTIONS: dict[str, tuple] = {
         lambda g: model.LineString(g.shell) if isinstance(g, model.Polygon) else None), _B),
     "st_geometryN": (_geometry_n, _B),
     "st_geometryType": (_measure(lambda g: g.geom_type, dtype=object), _S),
+    # ONE-based like the reference (GeometricAccessorFunctions.scala:33-43)
     "st_interiorRingN": (lambda s, n: pd.Series(
-        [wkb_dumps(model.LineString(g.holes[int(i)]))
+        [wkb_dumps(model.LineString(g.holes[int(i) - 1]))
          if g is not None and isinstance(g, model.Polygon) and i is not None
-         and 0 <= int(i) < len(g.holes) else None
+         and 0 < int(i) <= len(g.holes) else None
          for g, i in zip(_parse_series(s), n)]), _B),
     "st_isClosed": (_measure(lambda g: bool(g.is_closed) if isinstance(g, model.LineString) else True,
                              dtype=object), _BOOL),

@@ -96,9 +96,13 @@ class Geometry:
         return algos.length(self)
 
     def envelope(self) -> "Geometry":
+        # JTS Geometry.getEnvelope shapes: point extent -> Point, zero-
+        # width/height extent -> LineString, else the bounding Polygon
         xmin, ymin, xmax, ymax = self.bounds
         if xmin == xmax and ymin == ymax:
             return Point(xmin, ymin)
+        if xmin == xmax or ymin == ymax:
+            return LineString([[xmin, ymin], [xmax, ymax]])
         return Polygon([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]])
 
     def __eq__(self, other):

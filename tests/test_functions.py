@@ -337,3 +337,53 @@ class TestColumnFunctionAPI:
         names = dir(st)
         assert "st_intersects" in names and "st_difference" in names
         assert len([n for n in names if n.startswith("st_")]) > 70
+
+
+class TestAccessorConventions:
+    """JTS/reference accessor conventions the round-trip tests cannot pin
+    (GeometricAccessorFunctions.scala:29-68): st_geometryN and
+    st_interiorRingN are ONE-based with out-of-range -> null; st_pointN
+    additionally supports negative (from-end) indices; getEnvelope
+    degenerates to LineString/Point for flat extents."""
+
+    def test_geometry_n_one_based(self, spark):
+        rows = spark.sql(
+            "SELECT st_asText(st_geometryN(g, 1)) AS g1,"
+            " st_asText(st_geometryN(g, 3)) AS g3,"
+            " st_geometryN(g, 0) AS g0, st_geometryN(g, 4) AS g4,"
+            " st_asText(st_geometryN(st_geomFromWKT('POINT (5 6)'), 1)) AS simple"
+            " FROM (SELECT st_geomFromWKT("
+            "'MULTIPOINT ((1 1), (2 2), (3 3))') AS g)").collect()[0]
+        assert rows.g1 == "POINT (1 1)"
+        assert rows.g3 == "POINT (3 3)"
+        assert rows.g0 is None and rows.g4 is None
+        assert rows.simple == "POINT (5 6)"  # JTS: simple geom counts as 1
+
+    def test_interior_ring_n_one_based(self, spark):
+        rows = spark.sql(
+            "SELECT st_asText(st_interiorRingN(g, 1)) AS r1,"
+            " st_interiorRingN(g, 0) AS r0, st_interiorRingN(g, 2) AS r2"
+            " FROM (SELECT st_geomFromWKT('POLYGON ((0 0, 10 0, 10 10,"
+            " 0 10, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))') AS g)").collect()[0]
+        assert rows.r1 == "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+        assert rows.r0 is None and rows.r2 is None
+
+    def test_point_n_negative_indices(self, spark):
+        rows = spark.sql(
+            "SELECT st_asText(st_pointN(g, 1)) AS p1,"
+            " st_asText(st_pointN(g, -1)) AS pm1, st_pointN(g, 0) AS p0"
+            " FROM (SELECT st_geomFromWKT("
+            "'LINESTRING (0 0, 1 1, 2 2)') AS g)").collect()[0]
+        assert rows.p1 == "POINT (0 0)"
+        assert rows.pm1 == "POINT (2 2)"
+        assert rows.p0 is None
+
+    def test_envelope_degenerate_shapes(self, spark):
+        rows = spark.sql(
+            "SELECT st_asText(st_envelope(st_geomFromWKT('POINT (1 2)'))) AS p,"
+            " st_asText(st_envelope(st_geomFromWKT('LINESTRING (0 0, 0 5)'))) AS v,"
+            " st_asText(st_envelope(st_geomFromWKT('LINESTRING (0 0, 2 3)'))) AS b"
+        ).collect()[0]
+        assert rows.p == "POINT (1 2)"
+        assert rows.v == "LINESTRING (0 0, 0 5)"
+        assert rows.b.startswith("POLYGON")
