@@ -387,6 +387,26 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("std_lum"), 2).alias("avg_std")))
 
 
+def q_image_header_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan of the image blobs: the GSI1 header (magic,
+    fmt, w, h) parsed with PURE Catalyst expressions — no decode, no
+    Python; the 100 TB routing/validation path.  Rows-only (bytes are
+    engine-generated, not a driver table); header-vs-column consistency
+    is fully asserted in tests/test_images_pipeline."""
+    from geomesa_spark.sources.images import (synthetic_images,
+                                              with_header_meta)
+    meta = with_header_meta(synthetic_images(spark, 512))
+    consistent = (F.col("hdr_ok") & (F.col("hdr_fmt") == F.col("fmt"))
+                  & (F.col("hdr_w") == F.col("w"))
+                  & (F.col("hdr_h") == F.col("h")))
+    return (meta.groupBy("hdr_fmt")
+            .agg(F.count("*").alias("n"),
+                 F.sum(consistent.cast("int")).alias("n_consistent"),
+                 F.max("hdr_w").alias("max_w"),
+                 F.max("hdr_h").alias("max_h"))
+            .orderBy("hdr_fmt"))
+
+
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash dedup over image bytes: 64-bit average hash groups.
     Rows-only (binary decode outside SQL)."""
@@ -576,5 +596,6 @@ PROCESS_QUERIES = {
     "reproject": (q_reproject, Q_REPROJECT_SQL),
     "density_footprints": (q_density_footprints, Q_DENSITY_FOOTPRINTS_SQL),
     "image_stats": (q_image_stats, None),
+    "image_header_meta": (q_image_header_meta, None),
     "image_phash_dedup": (q_image_phash_dedup, None),
 }

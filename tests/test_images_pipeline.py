@@ -131,3 +131,22 @@ def test_density_polygons_matches_bruteforce(spark):
         for j in range(H):
             assert out.get((i, j), 0.0) == want[i, j], (i, j)
     assert sum(1 for v in out.values() if v > 0) > 50
+
+
+def test_header_meta_native_parse(spark):
+    """with_header_meta parses fmt/w/h from the GSI1 container with pure
+    Catalyst expressions (no decode): every parsed field must equal the
+    stored column, and the projection must stay JVM-side (no
+    ArrowEvalPython introduced by the parse itself)."""
+    from geomesa_spark.sources.images import (synthetic_images,
+                                              with_header_meta)
+    imgs = synthetic_images(spark, 300)
+    meta = with_header_meta(imgs)
+    assert meta.where(
+        "NOT hdr_ok OR hdr_fmt != fmt OR hdr_w != w OR hdr_h != h"
+    ).count() == 0
+    # bytes generation is one pandas UDF; the header parse must not add
+    # another python stage
+    base_plan = imgs._jdf.queryExecution().executedPlan().toString()
+    meta_plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert meta_plan.count("EvalPython") == base_plan.count("EvalPython")
