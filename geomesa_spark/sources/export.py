@@ -212,3 +212,95 @@ def write_shapefile(df: DataFrame, base_path: str, lon_col: str = "lon",
                 rec += v.encode("utf-8", "replace")[:64].ljust(64, b" ")
             f.write(rec)
         f.write(b"\x1a")
+
+
+# ---------------------------------------------------------------------------
+# BIN ("AXF") packed export — BinaryOutputEncoder parity
+# ---------------------------------------------------------------------------
+
+def bin_pack(df: DataFrame, track_col: str, ts_col: str,
+             lat_col: str, lon_col: str,
+             label_col: str | None = None) -> DataFrame:
+    """Pack rows into the reference's BIN byte layout
+    (utils/bin/BinaryOutputEncoder.scala:120-190): little-endian records
+    of int32 track id, int32 epoch-seconds, float32 lat, float32 lon —
+    16 bytes, or 24 with the optional int64 label (numbers pass through;
+    strings fold their first 8 UTF-8 bytes little-endian, scala
+    `convertToLabel` parity).
+
+    One Arrow batch packs into ONE (n_records, bytes) chunk row via a
+    structured numpy dtype — the reference likewise aggregates many
+    records per feature and counts bytes/16 (FeatureLimitingIterator).
+    Chunks are the distributed unit: each partition emits its own blobs,
+    no driver collection.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dtype = [("track", "<i4"), ("secs", "<i4"),
+             ("lat", "<f4"), ("lon", "<f4")]
+    if label_col is not None:
+        dtype.append(("label", "<i8"))
+    rec_dtype = np.dtype(dtype)
+
+    cols = [track_col, ts_col, lat_col, lon_col] + (
+        [label_col] if label_col else [])
+    src = df.select(
+        F.col(track_col).cast("long").alias("__track"),
+        F.unix_timestamp(ts_col).cast("long").alias("__secs"),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+        *([F.col(label_col).alias("__label")] if label_col else []))
+
+    def fold_label(v) -> int:
+        if v is None:
+            return 0
+        if isinstance(v, (int, np.integer, float, np.floating)):
+            return int(v)
+        acc = 0
+        for i, b in enumerate(str(v).encode("utf-8")[:8]):
+            acc += (b & 0xFF) << (8 * i)
+        return acc
+
+    def pack(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arr = np.empty(len(pdf), dtype=rec_dtype)
+            # int32 wrap like the JVM's (int) cast
+            arr["track"] = (pdf["__track"].to_numpy(np.int64)
+                            & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            arr["secs"] = (pdf["__secs"].to_numpy(np.int64)
+                           & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+            arr["lat"] = pdf["__lat"].to_numpy(np.float64).astype(np.float32)
+            arr["lon"] = pdf["__lon"].to_numpy(np.float64).astype(np.float32)
+            if label_col is not None:
+                arr["label"] = np.array(
+                    [fold_label(v) for v in pdf["__label"]], dtype=np.int64)
+            yield pd.DataFrame({"n_records": [len(pdf)],
+                                "bytes": [arr.tobytes()]})
+
+    return src.mapInPandas(pack, "n_records long, bytes binary")
+
+
+def decode_bin(blob: bytes, has_label: bool = False):
+    """Decode a BIN chunk back to a numpy structured array (the
+    ByteBuffer.LITTLE_ENDIAN decode at BinaryOutputEncoder.scala:176-190)
+    — the test/verification half of the codec."""
+    import numpy as np
+    dtype = [("track", "<i4"), ("secs", "<i4"),
+             ("lat", "<f4"), ("lon", "<f4")]
+    if has_label:
+        dtype.append(("label", "<i8"))
+    return np.frombuffer(blob, dtype=np.dtype(dtype))
+
+
+def write_bin(df: DataFrame, path: str, track_col: str, ts_col: str,
+              lat_col: str, lon_col: str,
+              label_col: str | None = None) -> None:
+    """Distributed BIN export: per-partition packed chunks as parquet
+    (n_records, bytes) — concatenating the `bytes` columns in any order
+    yields a valid BIN stream, exactly like the reference's aggregated
+    per-feature blobs."""
+    bin_pack(df, track_col, ts_col, lat_col, lon_col,
+             label_col).write.mode("overwrite").parquet(path)

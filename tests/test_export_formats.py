@@ -103,3 +103,62 @@ def test_gml_bounded_by_max_features(geo, tmp_path):
     export.write_gml(geo, path, max_features=3)
     text = open(path).read()
     assert text.count("<gml:featureMember>") == 3
+
+
+class TestBinPacked:
+    """BIN byte-layout parity (utils/bin/BinaryOutputEncoder.scala:
+    120-190): little-endian int32 track / int32 secs / float32 lat /
+    float32 lon (+ int64 label), decoded with the exact ByteBuffer
+    layout."""
+
+    def test_pack_decode_roundtrip(self, spark):
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        from geomesa_spark.sources.export import bin_pack, decode_bin
+        pdf = pd.DataFrame({
+            "track": [1, 2, 3, 2**31 + 5],   # last wraps like (int) cast
+            "ts": pd.to_datetime([1600000000, 1600000001, 1600000002,
+                                  1600000003], unit="s"),
+            "lat": [38.5, -12.25, 0.0, 89.9],
+            "lon": [-76.5, 44.125, 180.0, -179.9]})
+        df = spark.createDataFrame(pdf)
+        chunks = bin_pack(df, "track", "ts", "lat", "lon").collect()
+        assert sum(c.n_records for c in chunks) == 4
+        recs = np.concatenate(
+            [decode_bin(bytes(c.bytes)) for c in chunks])
+        got = {int(r["track"]): r for r in recs}
+        # JVM (int) cast wraps 2^31+5 -> -2^31+5
+        assert -(2**31) + 5 in got
+        r = got[1]
+        assert int(r["secs"]) == 1600000000
+        assert abs(float(r["lat"]) - 38.5) < 1e-6
+        assert abs(float(r["lon"]) - -76.5) < 1e-6
+        # byte-level check of one record against struct.pack
+        one = bin_pack(df.where("track = 1"), "track", "ts", "lat",
+                       "lon").collect()[0]
+        assert bytes(one.bytes) == struct.pack(
+            "<iiff", 1, 1600000000, 38.5, -76.5)
+
+    def test_label_fold_scala_parity(self, spark):
+        import pandas as pd
+
+        from geomesa_spark.sources.export import bin_pack, decode_bin
+        pdf = pd.DataFrame({
+            "track": [1, 2, 3],
+            "ts": pd.to_datetime([0, 0, 0], unit="s"),
+            "lat": [0.0, 0.0, 0.0], "lon": [0.0, 0.0, 0.0],
+            "label": ["ab", None, "12345678_truncated"]})
+        df = spark.createDataFrame(pdf)
+        recs = {int(r["track"]): r for c in bin_pack(
+            df, "track", "ts", "lat", "lon", label_col="label").collect()
+            for r in decode_bin(bytes(c.bytes), has_label=True)}
+        # scala convertToLabel: sum of first 8 utf-8 bytes shifted LE
+        assert int(recs[1]["label"]) == ord("a") + (ord("b") << 8)
+        assert int(recs[2]["label"]) == 0
+        want = 0
+        for i, b in enumerate(b"12345678"):
+            want += b << (8 * i)
+        assert int(recs[3]["label"]) == want
