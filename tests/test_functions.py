@@ -387,3 +387,12 @@ class TestAccessorConventions:
         assert rows.p == "POINT (1 2)"
         assert rows.v == "LINESTRING (0 0, 0 5)"
         assert rows.b.startswith("POLYGON")
+
+
+def test_geohash_reference_golden(spark):
+    """GeometricOutputFunctionsTest.scala:194-212: st_geoHash precision is
+    BITS (25 bits -> 5 base32 chars), POINT(-76.5 38.5) -> 'dqce5'."""
+    row = spark.sql(
+        "SELECT st_geoHash(st_geomFromWKT('POINT (-76.5 38.5)'), 25) AS g"
+    ).collect()[0]
+    assert row.g == "dqce5"
