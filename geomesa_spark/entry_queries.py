@@ -151,9 +151,13 @@ FROM matches GROUP BY poly_id ORDER BY poly_id
 
 
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN via cell-ring expansion + exact haversine refine."""
+    """kNN via cell-ring expansion + exact haversine refine.  The initial
+    window estimate takes the corpus size from the parquet footer (no
+    counting job)."""
+    from geomesa_spark.sources.testdata import table_num_rows
     df = geo_events(spark, sf_dir)
-    out = knn_join(df, KNN_QUERY_POINTS, k=5)
+    out = knn_join(df, KNN_QUERY_POINTS, k=5,
+                   n_rows=table_num_rows(sf_dir, "events"))
     # note: raw distances differ between JVM libm and DuckDB at the last ulp,
     # so the checked output is the neighbor identity + rank (the reference's
     # kNN tests also assert the neighbor set, KNearestNeighborSearchProcessTest)
@@ -250,7 +254,7 @@ def _date_offset_oracle() -> str:
     return f"""
 {GEO}
 SELECT event_id,
-       cast(epoch(ts) as bigint) + 129600 AS ts_off,
+       cast(floor(epoch(ts)) as bigint) + 129600 AS ts_off,
        cast(({fold}) % 7 as int) AS bucket
 FROM geo
 """
@@ -461,8 +465,8 @@ def q_min_max_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.count("*").alias("cnt"))
 
 
-Q_MIN_MAX_TIME_SQL = ("SELECT cast(epoch(min(ts)) as bigint) AS min_ts, "
-                      "cast(epoch(max(ts)) as bigint) AS max_ts, count(*) AS cnt FROM events")
+Q_MIN_MAX_TIME_SQL = ("SELECT cast(floor(epoch(min(ts))) as bigint) AS min_ts, "
+                      "cast(floor(epoch(max(ts))) as bigint) AS max_ts, count(*) AS cnt FROM events")
 
 
 # ---------------------------------------------------------------------------

@@ -381,13 +381,16 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     IN-join, exact cosine refine — while staying oracle-expressible
     (probing every list is exactly brute-force top-k, independent of the
     clustering; the pruned nprobe<nlist path is recall-tested in
-    tests/test_ann.py).  FAISS IndexIVFFlat design; the list_id column
-    plays the z2/s2 cell-id role on a list-partitioned layout."""
+    tests/test_ann.py).  FAISS IndexIVFFlat design: train + add are
+    WRITE-TIME (ann.write_ivf_index, trained once per dataset and reused
+    via the manifest — never retrained inside the query); the list_id
+    column plays the z2/s2 cell-id role on a list-partitioned layout."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_pd = (embs.where("vec_id < 5")
                   .selectExpr("vec_id AS qid", "embedding AS qvec")
                   .toPandas())
-    return ann.ivf_topk(embs, queries_pd, k=5, nlist=8, nprobe=8)
+    return ann.ivf_topk(embs, queries_pd, k=5, nlist=8, nprobe=8,
+                        index_path=cache_path("ivf_index", sf_dir))
 
 
 Q_IVF_ANN_SQL = Q_ANN_TOPK_SQL

@@ -12,7 +12,27 @@ spherical-mercator definition with R = 6378137 (WGS84 semi-major).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import functions as _spark_funcs
+
+import threading as _threading
+
+
+class _FuncsProxy:
+    """Dispatches ``F.<name>`` to pyspark.sql.functions by default, or to
+    the numpy shim installed by ``_numpy_funcs`` — THREAD-LOCALLY, so one
+    thread evaluating transform_points_np on numpy arrays never swaps the
+    math namespace out from under another thread building Catalyst
+    ``reproject()`` expressions (the module-global swap was not
+    reentrant)."""
+
+    _local = _threading.local()
+
+    def __getattr__(self, name):
+        impl = getattr(self._local, "impl", None)
+        return getattr(impl if impl is not None else _spark_funcs, name)
+
+
+F = _FuncsProxy()
 
 R_MAJOR = 6378137.0
 MAX_LAT = 85.05112877980659   # atan(sinh(pi)) — mercator validity bound
@@ -150,6 +170,11 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
     north/south).  Unknown codes raise ValueError — the reference
     delegates others to GeoTools (QueryPlanner.scala:297-301)."""
     s, d = _parse_epsg(src), _parse_epsg(dst)
+    clash = [c for c in df.columns if c.startswith(("__rp_", "__hd_"))]
+    if clash:
+        raise ValueError(
+            f"reproject: reserved temp columns present: {clash}")
+    tmp_created: set[str] = set()
     # normalize source to lon/lat
     if s == 4326:
         lon, lat = F.col(x_col), F.col(y_col)
@@ -173,6 +198,7 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
             df = src_datum.apply(df, "__rp_lon", "__rp_lat",
                                  "__rp_lon", "__rp_lat", to_wgs84=True)
             lon, lat = F.col("__rp_lon"), F.col("__rp_lat")
+            tmp_created.update(("__rp_lon", "__rp_lat"))
     else:
         raise ValueError(f"unsupported source CRS: {src}")
     # lon/lat to target
@@ -191,11 +217,12 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
             df = dst_datum.apply(df, "__rp_lon", "__rp_lat",
                                  "__rp_lon", "__rp_lat", to_wgs84=False)
             lon, lat = F.col("__rp_lon"), F.col("__rp_lat")
+            tmp_created.update(("__rp_lon", "__rp_lat"))
         ox, oy = proj.forward(lon, lat)
     else:
         raise ValueError(f"unsupported target CRS: {dst}")
     return (df.withColumn(out_x, ox).withColumn(out_y, oy)
-            .drop("__rp_lon", "__rp_lat"))
+            .drop(*tmp_created))
 
 
 # ---------------------------------------------------------------------------
@@ -571,6 +598,10 @@ class HelmertDatum:
         source ellipsoid, so a 2D round trip closes only to ~|h| * e^2
         lateral error (a few cm where the ellipsoids differ by ~1 km);
         with heights carried the round trip closes to ~1e-9 deg."""
+        clash = [c for c in df.columns if c.startswith("__hd_")]
+        if clash:
+            raise ValueError(
+                f"HelmertDatum.apply: reserved temp columns present: {clash}")
         if to_wgs84:
             (a1, f1), (a2, f2) = (self.a, self.f), (WGS84_A, WGS84_F)
         else:
@@ -760,13 +791,13 @@ import contextlib as _contextlib
 
 @_contextlib.contextmanager
 def _numpy_funcs():
-    global F
-    prev = F
-    F = _np_math()
+    """Install the numpy shim for THIS thread only (see _FuncsProxy)."""
+    prev = getattr(_FuncsProxy._local, "impl", None)
+    _FuncsProxy._local.impl = _np_math()
     try:
         yield
     finally:
-        F = prev
+        _FuncsProxy._local.impl = prev
 
 
 def _helmert_np(dt: HelmertDatum, lon, lat, *, to_wgs84: bool):

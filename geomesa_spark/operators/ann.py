@@ -375,11 +375,49 @@ def ivf_index(corpus: DataFrame, nlist: int = 16,
     return assigned, centroids
 
 
+def write_ivf_index(corpus: DataFrame, path: str, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 7):
+    """WRITE-TIME half of the IVF index (FAISS IndexIVFFlat: ``train`` +
+    ``add`` happen at build time, never per query): train the k-means
+    coarse quantizer, materialize the assignment table
+    ``(id, vec, norm, list_id)`` sorted by list_id — parquet row-group
+    min/max stats on the sorted list_id support probe-pruned scans, the
+    same physical property layout.write_indexed gives cell keys — and
+    store the centroids in the sigtable manifest so query time probes the
+    SAME quantizer.  Returns (assignment_df, centroids)."""
+    from geomesa_spark.sources import sigtable
+
+    assigned, centroids = ivf_index(corpus, nlist, vec_col, seed)
+    out = assigned.withColumn("__norm", _norm_col(vec_col)) \
+        .select(id_col, vec_col, "__norm", "list_id")
+    out = sigtable.materialize(out, path, sort_cols=["list_id"])
+    sigtable.write_sig_manifest(
+        corpus.sparkSession, path,
+        {"kind": "ivf", "nlist": nlist, "seed": seed,
+         "id_col": id_col, "vec_col": vec_col,
+         "centroids": [[float(v) for v in c] for c in centroids]})
+    return out, centroids
+
+
+def read_ivf_index(spark, path: str):
+    """Read a materialized IVF index: (assignment_df, centroids, manifest).
+    Raises if the path/manifest is absent — callers fall back to
+    write_ivf_index."""
+    import numpy as np
+    from geomesa_spark.sources import sigtable
+
+    meta = sigtable.read_sig_manifest(spark, path)
+    cents = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
+    return spark.read.parquet(path), cents, meta
+
+
 def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 7,
              assigned: DataFrame | None = None,
-             centroids=None) -> DataFrame:
+             centroids=None,
+             index_path: str | None = None) -> DataFrame:
     """IVF ANN top-k: probe only each query's ``nprobe`` nearest inverted
     lists, exact cosine + rank inside them.
 
@@ -393,7 +431,18 @@ def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
     import numpy as np
     spark = corpus.sparkSession
     if assigned is None or centroids is None:
-        assigned, centroids = ivf_index(corpus, nlist, vec_col, seed)
+        if index_path is not None:
+            try:
+                assigned, centroids, meta = read_ivf_index(spark, index_path)
+                if meta.get("nlist") != nlist or meta.get("seed") != seed \
+                        or meta.get("vec_col") != vec_col \
+                        or meta.get("id_col") != id_col:
+                    raise ValueError("stale IVF manifest")
+            except Exception:
+                assigned, centroids = write_ivf_index(
+                    corpus, index_path, nlist, id_col, vec_col, seed)
+        else:
+            assigned, centroids = ivf_index(corpus, nlist, vec_col, seed)
     cmat = np.stack(centroids)
     cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
     cunit = cmat / np.maximum(cnorm, 1e-12)
@@ -411,11 +460,13 @@ def ivf_topk(corpus: DataFrame, queries_pd, k: int = 5, nlist: int = 16,
         [(row["qid"], list(map(float, row["qvec"])))
          for _, row in queries_pd.iterrows()],
         "qid long, qvec array<double>")
+    na = (F.col("__norm") if "__norm" in assigned.columns
+          else _norm_col(vec_col))
     cand = (assigned
             .join(F.broadcast(probes), "list_id")
             .join(F.broadcast(qdf), "qid")
             .where(F.col("qid") != F.col(id_col))
-            .withColumn("__na", _norm_col(vec_col))
+            .withColumn("__na", na)
             .withColumn("__nb", F.sqrt(_dot("qvec", "qvec")))
             .withColumn("sim", _dot(vec_col, "qvec")
                         / (F.col("__na") * F.col("__nb"))))

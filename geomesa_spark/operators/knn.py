@@ -53,12 +53,21 @@ def cells_covering_radius(qlon: float, qlat: float, res: int, radius_m: float) -
     iy1 = min(n - 1, int((min(lat_hi, 89.999999) + 90.0) / cell_h_deg))
     out = set()
     _, qix, _ = grid.cell_xy(grid.cell_id(qlon, qlat, res))
+    # Max longitude half-extent of a spherical disk: asin(sin r / cos phi_q)
+    # — the tangent-meridian bound (standard circle-bounding-box formula on
+    # the sphere).  Row-independent: every row's intersection arc is
+    # centered on qlon and no wider than this, so it is a strict superset
+    # bound per row while staying tight near the poles (the previous
+    # widest-row-edge heuristic degenerated to all-longitudes for any disk
+    # touching a polar row).
+    if abs(qlat) + rad_deg_lat >= 90.0:
+        rad_deg_lon = 180.0  # disk reaches a pole: all longitudes
+    else:
+        rad_deg_lon = math.degrees(math.asin(min(1.0, (
+            math.sin(math.radians(rad_deg_lat))
+            / math.cos(math.radians(qlat))))))
+    span_cells = int(rad_deg_lon / (360.0 / n)) + 1
     for iy in range(iy0, iy1 + 1):
-        # widest |lat| edge of this cell row governs the lon shrink factor
-        row_lat_edge = max(abs(-90.0 + iy * cell_h_deg), abs(-90.0 + (iy + 1) * cell_h_deg))
-        cosl = math.cos(math.radians(min(row_lat_edge, 89.9999)))
-        rad_deg_lon = rad_deg_lat / max(cosl, 1e-9)
-        span_cells = int(rad_deg_lon / (360.0 / n)) + 1
         if span_cells * 2 + 1 >= n:
             for ix in range(n):
                 out.add(grid.from_xy(res, ix, iy))
@@ -124,15 +133,19 @@ def _pick_res(total_rows: int, k: int) -> int:
 def knn_join(points: DataFrame, query_points: list[tuple], k: int, *,
              lon_col: str = "lon", lat_col: str = "lat",
              res: int | None = None, id_cols: list[str] | None = None,
-             max_iterations: int = 6) -> DataFrame:
+             max_iterations: int = 6, n_rows: int | None = None) -> DataFrame:
     """Exact k nearest data points per query point.
 
     ``query_points``: [(qid, lon, lat)]. Returns one row per (qid, neighbor)
     with ``dist_m`` and ``knn_rank``.
+
+    ``n_rows``: total row count used for the density-based initial window;
+    pass it when known (parquet footer / layout manifest) to avoid a
+    counting job.
     """
     spark = points.sparkSession
     if res is None:
-        res = _pick_res(points.count(), k)
+        res = _pick_res(n_rows if n_rows is not None else points.count(), k)
     return _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
                       max_iterations)
 
@@ -155,16 +168,35 @@ def _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
                                 "qid string, qlon double, qlat double")
     dist = _haversine_col(F.col(lon_col), F.col(lat_col), F.col("qlon"), F.col("qlat"))
     w = Window.partitionBy("qid").orderBy("dist_m")
+    wq = Window.partitionBy("qid")
 
-    # --- phase 1: expand disks until every query point has >= k candidates.
-    # ONE driver job per iteration returns per-qid (candidate count,
-    # provisional k-th distance) together — "count >= k" and "top-k is
-    # full" are the same fact, so the separate provisional/dk job of the
-    # two-phase formulation is folded into the expansion loop.
+    def candidate_topk(cell_rows):
+        """Pruned scan restricted to per-qid cell sets → per-qid top-k rows
+        (plus ``__cnt``, the pre-rank candidate count per qid)."""
+        cdf = spark.createDataFrame(cell_rows, "qid string, __cell long")
+        return (pruned_scan({c for _, c in cell_rows})
+                .join(F.broadcast(cdf), "__cell")
+                .join(F.broadcast(qdf), "qid")
+                .withColumn("dist_m", dist)
+                .withColumn("__cnt", F.count("*").over(wq))
+                .withColumn("knn_rank", F.row_number().over(w))
+                .where(F.col("knn_rank") <= k)
+                .drop("__cell"))
+
+    # --- phase 1 (fused): expand disks until every query point has >= k
+    # candidates.  ONE driver job per iteration returns the provisional
+    # top-k rows THEMSELVES (<= k rows per pending qid): "count >= k", the
+    # provisional k-th distance, and the candidate answers are the same
+    # fact, so the reference's separate window-estimate / k-buffer passes
+    # collapse into the expansion loop and — when the d_k disk is already
+    # inside the scanned cells, the common case — no second distributed
+    # job runs at all.
     radius = {qid: 1 for qid in q_cells}
     scanned: dict = {qid: set() for qid in q_cells}
     pending = set(q_cells)
-    dk: dict = {}
+    best: dict = {}          # qid -> provisional top-k Rows (latest scan)
+    counts = {qid: 0 for qid in q_cells}
+    template = None
     for _ in range(max_iterations):
         grew = False
         for qid in pending:
@@ -173,50 +205,51 @@ def _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,
                 grew = True
             scanned[qid].update(new_cells)
             radius[qid] *= 2
-        pend_rows = [(qid, c) for qid in pending for c in scanned[qid]]
-        pend_df = spark.createDataFrame(pend_rows, "qid string, __cell long")
-        stats = (pruned_scan({c for _, c in pend_rows})
-                 .join(F.broadcast(pend_df), "__cell")
-                 .join(F.broadcast(qdf), "qid")
-                 .withColumn("dist_m", dist)
-                 .withColumn("__rn", F.row_number().over(w))
-                 .groupBy("qid")
-                 .agg(F.count("*").alias("cnt"),
-                      F.max(F.when(F.col("__rn") <= k, F.col("dist_m")))
-                       .alias("dk"))
-                 .collect())
-        got = {r["qid"]: (r["cnt"], r["dk"]) for r in stats}
+        prov = candidate_topk([(qid, c) for qid in pending for c in scanned[qid]])
+        if template is None:
+            template = prov.drop("__cnt", "qlon", "qlat")
+        got: dict = {}
+        for r in prov.collect():
+            got.setdefault(r["qid"], []).append(r)
         for qid in list(pending):
-            cnt, dkv = got.get(qid, (0, None))
-            if cnt >= k or len(scanned[qid]) >= n * n:
-                if dkv is not None:
-                    dk[qid] = dkv
+            rs = got.get(qid)
+            if rs:
+                best[qid] = rs
+                counts[qid] = rs[0]["__cnt"]
+            if counts[qid] >= k or len(scanned[qid]) >= n * n:
                 pending.discard(qid)
         if not pending or not grew:
-            # out of expansion room: take whatever k-th distance exists
-            for qid in pending:
-                dkv = got.get(qid, (0, None))[1]
-                if dkv is not None:
-                    dk[qid] = dkv
             break
 
-    # --- phase 2: hole exclusion — grow each scan set to fully contain the
-    # provisional d_k disk, then one exact top-k over the union
-    all_rows = [(qid, c) for qid, cells in scanned.items() for c in cells]
-    for qid, d in dk.items():
+    # --- phase 2: hole exclusion — a qid whose provisional d_k disk is NOT
+    # fully contained in its scanned cells gets one exact top-k re-rank over
+    # the grown set (only those qids rescan; the rest are already exact).
+    topup: dict = {}
+    for qid, rs in best.items():
+        d = max(r["dist_m"] for r in rs)
         qlon, qlat = q_pos[qid]
         needed = set(cells_covering_radius(qlon, qlat, res, d * 1.0000001))
-        all_rows.extend((qid, c) for c in needed - scanned[qid])
+        extra = needed - scanned[qid]
+        if extra:
+            topup[qid] = scanned[qid] | extra
 
-    cand_df = spark.createDataFrame(all_rows, "qid string, __cell long")
-    final = (pruned_scan({c for _, c in all_rows})
-             .join(F.broadcast(cand_df), "__cell")
-             .join(F.broadcast(qdf), "qid")
-             .withColumn("dist_m", dist)
-             .withColumn("knn_rank", F.row_number().over(w))
-             .where(F.col("knn_rank") <= k)
-             .drop("__cell", "qlon", "qlat"))
-    return final
+    out_cols = template.columns
+    parts = []
+    exact_rows = [tuple(r[c] for c in out_cols)
+                  for qid, rs in best.items() if qid not in topup for r in rs]
+    if exact_rows:
+        parts.append(spark.createDataFrame(exact_rows, schema=template.schema))
+    if topup:
+        final = candidate_topk([(qid, c) for qid, cells in topup.items()
+                                for c in cells]) \
+            .drop("__cnt", "qlon", "qlat")
+        parts.append(final.select(*out_cols))
+    if not parts:
+        return template.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _haversine_col(lon1, lat1, lon2, lat2):

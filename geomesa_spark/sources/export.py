@@ -243,11 +243,21 @@ def bin_pack(df: DataFrame, track_col: str, ts_col: str,
         dtype.append(("label", "<i8"))
     rec_dtype = np.dtype(dtype)
 
-    cols = [track_col, ts_col, lat_col, lon_col] + (
-        [label_col] if label_col else [])
+    # BinaryOutputEncoder.convertToTrack semantics: numeric track ids pass
+    # through; STRING track ids are hashed (Java String.hashCode over the
+    # code units — faithful for ASCII ids); nulls become 0.  convertToDate
+    # likewise zeroes null dates.  Without this, a string/null track made
+    # to_numpy(int64) raise at pack time.
+    if dict(df.dtypes).get(track_col) == "string":
+        track_expr = F.expr(
+            f"aggregate(transform(split({track_col}, ''), c -> ascii(c)), "
+            f"0L, (h, c) -> (h * 31 + c) % 4294967296)")
+    else:
+        track_expr = F.col(track_col).cast("long")
     src = df.select(
-        F.col(track_col).cast("long").alias("__track"),
-        F.unix_timestamp(ts_col).cast("long").alias("__secs"),
+        F.coalesce(track_expr, F.lit(0).cast("long")).alias("__track"),
+        F.coalesce(F.unix_timestamp(ts_col), F.lit(0)).cast("long")
+         .alias("__secs"),
         F.col(lat_col).cast("double").alias("__lat"),
         F.col(lon_col).cast("double").alias("__lon"),
         *([F.col(label_col).alias("__label")] if label_col else []))

@@ -94,8 +94,10 @@ def assemble_way_geoms(nodes: DataFrame, ways: DataFrame, *,
 
     Ways with missing nodes (clipped extracts) keep their remaining
     vertices and report ``n_missing`` — the converter's lenient mode.
+    Ways with an EMPTY refs array still surface (null wkt, n_missing=0)
+    via posexplode_outer, consistent with lenient reporting.
     """
-    refs = ways.select("id", "tags", F.posexplode("refs")
+    refs = ways.select("id", "tags", F.posexplode_outer("refs")
                        .alias("seq", "ref"))
     node_pts = nodes.select(F.col("id").alias("ref"), "lon", "lat")
     if broadcast_nodes:
@@ -104,7 +106,8 @@ def assemble_way_geoms(nodes: DataFrame, ways: DataFrame, *,
     pts = (joined
            .groupBy("id")
            .agg(F.first("tags").alias("tags"),
-                F.sum(F.when(F.col("lon").isNull(), 1).otherwise(0))
+                F.sum(F.when(F.col("ref").isNotNull()
+                             & F.col("lon").isNull(), 1).otherwise(0))
                 .alias("n_missing"),
                 F.array_sort(F.collect_list(F.when(
                     F.col("lon").isNotNull(),

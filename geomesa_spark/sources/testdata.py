@@ -41,6 +41,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer — driver-side metadata read, no
+    Spark job (the layout-manifest n_rows pattern applied to raw driver
+    tables)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + derived lon/lat (identical values to geo_events_sql)."""
     return load_table(spark, sf_dir, "events").selectExpr(

@@ -12,18 +12,10 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
+from geomesa_spark.testing import assert_frames_match, normalize  # noqa: E402
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-
-
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
 def main() -> int:
@@ -45,12 +37,7 @@ def main() -> int:
         try:
             got = normalize(qs[name](spark, sf_dir).toPandas())
             want = normalize(con.execute(osql[name]).df())
-            if list(got.columns) != list(want.columns):
-                raise AssertionError(f"cols {list(got.columns)} != {list(want.columns)}")
-            if len(got) != len(want):
-                raise AssertionError(f"rows {len(got)} != {len(want)}")
-            pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            assert_frames_match(got, want, name)
             print(f"OK    {name}  ({len(got)} rows)")
         except Exception as e:  # noqa: BLE001
             failures += 1

@@ -162,3 +162,29 @@ class TestBinPacked:
         for i, b in enumerate(b"12345678"):
             want += b << (8 * i)
         assert int(recs[3]["label"]) == want
+
+    def test_track_string_hash_and_nulls(self, spark):
+        """convertToTrack semantics: string track ids hash (Java
+        String.hashCode over code units), null track/ts become 0 —
+        instead of a to_numpy(int64) crash on NULLs."""
+        import pandas as pd
+
+        from geomesa_spark.sources.export import bin_pack, decode_bin
+        pdf = pd.DataFrame({
+            "track": ["alpha", None, "z"],
+            "ts": [pd.Timestamp(1600000000, unit="s"), pd.NaT,
+                   pd.Timestamp(1600000002, unit="s")],
+            "lat": [1.0, 2.0, 3.0], "lon": [4.0, 5.0, 6.0]})
+        df = spark.createDataFrame(pdf)
+        recs = []
+        for c in bin_pack(df, "track", "ts", "lat", "lon").collect():
+            recs.extend(decode_bin(bytes(c.bytes)))
+        def jhash(s):
+            h = 0
+            for ch in s:
+                h = (h * 31 + ord(ch)) % (1 << 32)
+            return h - (1 << 32) if h >= (1 << 31) else h
+        got = {int(r["track"]): int(r["secs"]) for r in recs}
+        assert got[jhash("alpha")] == 1600000000
+        assert got[jhash("z")] == 1600000002
+        assert got[0] == 0  # null track + null ts -> zeros

@@ -12,6 +12,7 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from geomesa_spark.testing import assert_frames_match, normalize as _normalize
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,17 +26,6 @@ def duck(sf_dir):
     return con
 
 
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
-        # unify int-like columns across engines (int32 vs int64)
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
 QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())
 
 
@@ -47,11 +37,19 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     got = _normalize(q(spark, sf_dir).toPandas())
     want = _normalize(duck.execute(sql).df())
 
-    assert list(got.columns) == list(want.columns), \
-        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
-    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False,
-                                  check_exact=False, rtol=1e-9, atol=1e-9)
+    assert_frames_match(got, want, name)
+
+
+def test_harness_catches_integer_perturbation():
+    """The r3 blind spot: rtol on int64 tolerated ±1 on epoch-seconds.
+    Prove the harness now rejects a deliberate ±1 integer perturbation."""
+    a = _normalize(pd.DataFrame({"id": [1, 2, 3],
+                                 "epoch": [1704197032, 1704197033, 1704197034]}))
+    b = a.copy()
+    b.loc[1, "epoch"] += 1
+    assert_frames_match(a, a.copy(), "self")
+    with pytest.raises(AssertionError, match="epoch"):
+        assert_frames_match(a, b, "perturbed")
 
 
 def test_entry_smoke(spark):

@@ -85,3 +85,17 @@ def test_infer_jdbc_gate(spark):
     from geomesa_spark.sources.ingest import infer_jdbc
     with pytest.raises(RuntimeError, match="jdbc driver unavailable"):
         infer_jdbc(spark, "jdbc:postgresql://localhost/db", "features")
+
+
+def test_assemble_empty_refs_way_surfaces(spark):
+    """A way with NO nd refs still appears (null wkt, n_missing=0) —
+    lenient-mode reporting, not a silent drop (posexplode_outer path)."""
+    nodes = spark.createDataFrame(
+        [(1, -0.1, 51.5)], "id long, lon double, lat double")
+    ways = spark.createDataFrame(
+        [(20, {"highway": "road"}, [1]), (21, {}, [])],
+        "id long, tags map<string,string>, refs array<long>")
+    out = {r.id: r for r in assemble_way_geoms(nodes, ways).collect()}
+    assert set(out) == {20, 21}
+    assert out[21].wkt is None
+    assert out[21].n_missing == 0

@@ -120,15 +120,22 @@ def test_knn_scan_is_pruned_and_exact(spark, sf_dir, tmp_path):
     """knn_join: the bbox prefilter reaches the parquet scan (PushedFilters
     on the stored lon/lat columns — no full-table cache) and the result
     matches the brute-force oracle."""
-    from geomesa_spark.operators.knn import knn_brute_force, knn_join
+    from geomesa_spark.cells import grid
+    from geomesa_spark.operators.knn import (_cells_bbox_pred,
+                                             knn_brute_force, knn_join)
     path = str(tmp_path / "geo_events")
     geo_events(spark, sf_dir).write.parquet(path)
     ev = spark.read.parquet(path)
     qs = [("q0", 46.0, 25.0), ("q1", 45.5, 24.5)]
-    got = knn_join(ev, qs, k=7)
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the candidate scan (phase 1 runs it eagerly and — when the d_k disk
+    # stays inside the scanned cells — returns its rows directly, so the
+    # pushdown is asserted on the scan building-block)
+    cells = grid.disk(grid.cell_id(46.0, 25.0, 6), 1)
+    scan = ev.where(_cells_bbox_pred(set(cells), 6, "lon", "lat"))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
     pushed = [seg[:300] for seg in plan.split("PushedFilters: [")[1:]]
     assert pushed and any("lat" in seg for seg in pushed)
+    got = knn_join(ev, qs, k=7)
     g = {(r.qid, r.event_id) for r in got.collect()}
     w = {(r.qid, r.event_id) for r in knn_brute_force(ev, qs, k=7).collect()}
     assert g == w and len(g) == 14
