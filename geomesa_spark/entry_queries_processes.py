@@ -307,10 +307,101 @@ WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
 
 
 def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ConvexHull UDAF analog: per-event-type hull (no SQL oracle —
-    geometric; verified by tests/test_processes.py against brute force)."""
-    df = geo_events(spark, sf_dir)
-    return proc.convex_hull_agg(df, "event_type")
+    """ConvexHull UDAF (reference: udaf/ConvexHull.scala:16-50), oracle-
+    checked: per-event-type hull VERTEX rows over ppm-scaled integer
+    coordinates (exact int64 cross products on both engines).  The WKT/
+    area variant (proc.convex_hull_agg) stays brute-force-tested in
+    tests/test_processes.py; this projection makes the hull itself
+    hash-checkable against an independent SQL hull characterization."""
+    df = geo_events(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("lon") * F.lit(1e6)).cast("long").alias("x_ppm"),
+        F.floor(F.col("lat") * F.lit(1e6)).cast("long").alias("y_ppm"))
+    return proc.convex_hull_vertices(df, "event_type")
+
+
+# Independent SQL convex-hull characterization (no chain walk):
+#   1. Akl-Toussaint prefilter: the 8 directional extreme anchors (ties
+#      broken lexicographically) form a CCW polygon; points strictly left
+#      of ALL its edges are interior and can never be hull vertices.
+#   2. vertical-stack rule: a point with same-x points strictly above AND
+#      below lies on a segment -> never a vertex.
+#   3. p is an upper-hull vertex iff NO pair a <lex p <lex b has p
+#      on-or-below segment ab (cross <= 0); lower hull symmetric.  Strict
+#      cross drops collinear mid-edge points — the monotone-chain strict-
+#      turn convention the engine kernel uses.
+# All arithmetic on ppm BIGINTs: bit-exact across engines.
+Q_CONVEX_HULL_SQL = f"""
+{GEO},
+p AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(floor(lon * 1e6) AS BIGINT) AS x,
+         CAST(floor(lat * 1e6) AS BIGINT) AS y
+  FROM geo
+),
+ranked AS (
+  SELECT grp, x, y,
+    row_number() OVER (PARTITION BY grp ORDER BY x, y) AS r0,
+    row_number() OVER (PARTITION BY grp ORDER BY x + y, x, y) AS r1,
+    row_number() OVER (PARTITION BY grp ORDER BY y, x) AS r2,
+    row_number() OVER (PARTITION BY grp ORDER BY x - y DESC, x, y) AS r3,
+    row_number() OVER (PARTITION BY grp ORDER BY x DESC, y DESC) AS r4,
+    row_number() OVER (PARTITION BY grp ORDER BY x + y DESC, x DESC, y DESC) AS r5,
+    row_number() OVER (PARTITION BY grp ORDER BY y DESC, x DESC) AS r6,
+    row_number() OVER (PARTITION BY grp ORDER BY x - y, x DESC, y DESC) AS r7
+  FROM p
+),
+anchors AS (  -- CCW by outward direction: 180,225,270,315,0,45,90,135 deg
+            SELECT grp, 0 AS k, x, y FROM ranked WHERE r0 = 1
+  UNION ALL SELECT grp, 1, x, y FROM ranked WHERE r1 = 1
+  UNION ALL SELECT grp, 2, x, y FROM ranked WHERE r2 = 1
+  UNION ALL SELECT grp, 3, x, y FROM ranked WHERE r3 = 1
+  UNION ALL SELECT grp, 4, x, y FROM ranked WHERE r4 = 1
+  UNION ALL SELECT grp, 5, x, y FROM ranked WHERE r5 = 1
+  UNION ALL SELECT grp, 6, x, y FROM ranked WHERE r6 = 1
+  UNION ALL SELECT grp, 7, x, y FROM ranked WHERE r7 = 1
+),
+edges AS (  -- degenerate (coincident-anchor) edges skipped: cross would be
+            -- 0 for every point and disable the prefilter
+  SELECT a.grp, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM anchors a JOIN anchors b
+    ON a.grp = b.grp AND b.k = (a.k + 1) % 8
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+),
+cand AS (  -- survives unless strictly left of every anchor edge;
+           -- anchors themselves are hull points and always survive
+  SELECT pp.grp, pp.x, pp.y FROM p pp
+  WHERE EXISTS (
+    SELECT 1 FROM edges e WHERE e.grp = pp.grp
+      AND (e.bx - e.ax) * (pp.y - e.ay)
+          - (e.by - e.ay) * (pp.x - e.ax) <= 0)
+     OR EXISTS (
+    SELECT 1 FROM anchors an WHERE an.grp = pp.grp
+      AND an.x = pp.x AND an.y = pp.y)
+)
+SELECT c.grp AS event_type, c.x AS x_ppm, c.y AS y_ppm
+FROM cand c
+WHERE NOT (
+    EXISTS (SELECT 1 FROM p u
+            WHERE u.grp = c.grp AND u.x = c.x AND u.y > c.y)
+    AND EXISTS (SELECT 1 FROM p d
+                WHERE d.grp = c.grp AND d.x = c.x AND d.y < c.y))
+  AND (
+    NOT EXISTS (  -- upper-hull exclusion witness
+      SELECT 1 FROM cand a, cand b
+      WHERE a.grp = c.grp AND b.grp = c.grp
+        AND (a.x < c.x OR (a.x = c.x AND a.y < c.y))
+        AND (b.x > c.x OR (b.x = c.x AND b.y > c.y))
+        AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) <= 0)
+    OR
+    NOT EXISTS (  -- lower-hull exclusion witness
+      SELECT 1 FROM cand a, cand b
+      WHERE a.grp = c.grp AND b.grp = c.grp
+        AND (a.x < c.x OR (a.x = c.x AND a.y < c.y))
+        AND (b.x > c.x OR (b.x = c.x AND b.y > c.y))
+        AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) >= 0)
+  )
+"""
 
 
 def q_density_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -421,6 +512,39 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = avg_hash(imgs.unionByName(copies))
     return (hashed.groupBy("ahash").agg(F.count("*").alias("n_images"))
             .where(F.col("n_images") > 1))
+
+
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image pipeline, consolidated (rows-only — the GSI1 codec
+    is engine-side binary, not SQL-expressible; PSNR/caption fidelity and
+    header consistency are gated in tests/test_images_pipeline.py).  Runs
+    all three image operators and stacks their rollups into one labeled
+    frame so each keeps a driver row without costing three gate slots:
+
+    * ``stats``    — Arrow-batched decode + per-image pixel stats
+      (q_image_stats' rollup per format)
+    * ``header``   — pure-Catalyst GSI1 header scan, no decode, no Python
+      (q_image_header_meta's consistency rollup)
+    * ``phash_dup``— 64-bit average-hash perceptual dedup with planted
+      duplicates (q_image_phash_dedup's duplicate groups)
+    """
+    stats = q_image_stats(spark, sf_dir).select(
+        F.lit("stats").alias("section"), F.col("fmt").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_r").cast("double").alias("m1"),
+        F.col("avg_std").cast("double").alias("m2"))
+    hdr = q_image_header_meta(spark, sf_dir).select(
+        F.lit("header").alias("section"), F.col("hdr_fmt").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_consistent").cast("double").alias("m1"),
+        (F.col("max_w") * 100000 + F.col("max_h")).cast("double").alias("m2"))
+    dup = q_image_phash_dedup(spark, sf_dir).select(
+        F.lit("phash_dup").alias("section"),
+        F.col("ahash").cast("string").alias("key"),
+        F.col("n_images").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("m1"),
+        F.lit(None).cast("double").alias("m2"))
+    return stats.unionByName(hdr).unionByName(dup)
 
 
 def q_st_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,11 +715,12 @@ PROCESS_QUERIES = {
     "bin_export": (q_bin_export, Q_BIN_EXPORT_SQL),
     "attr_filter": (q_attr_filter, Q_ATTR_FILTER_SQL),
     "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),
-    "convex_hull": (q_convex_hull, None),
+    "convex_hull": (q_convex_hull, Q_CONVEX_HULL_SQL),
     "xz3_bbox_during": (q_xz3_bbox_during, Q_XZ3_SQL),
     "reproject": (q_reproject, Q_REPROJECT_SQL),
     "density_footprints": (q_density_footprints, Q_DENSITY_FOOTPRINTS_SQL),
-    "image_stats": (q_image_stats, None),
-    "image_header_meta": (q_image_header_meta, None),
-    "image_phash_dedup": (q_image_phash_dedup, None),
+    # image_pipeline consolidates the former image_stats /
+    # image_header_meta / image_phash_dedup entries (all three operators
+    # still run; rows-only — binary codec outside SQL)
+    "image_pipeline": (q_image_pipeline, None),
 }

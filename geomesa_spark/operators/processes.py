@@ -241,6 +241,52 @@ def convex_hull_agg(points: DataFrame, group_col: str,
             .withColumnRenamed("grp", group_col))
 
 
+def convex_hull_vertices(points: DataFrame, group_col: str,
+                         x_col: str = "x_ppm",
+                         y_col: str = "y_ppm") -> DataFrame:
+    """Per-group convex hull VERTEX set over INTEGER coordinates —
+    the oracle-checkable projection of the ConvexHull UDAF (reference:
+    udaf/ConvexHull.scala:16-50).
+
+    Integer (ppm-scaled) inputs make every cross product exact in int64
+    on both engines (|coord| <= 1.8e8 -> |cross| <= ~1.3e17 < 2^63), so
+    hull membership is bit-identical to a DuckDB SQL oracle.  Output is
+    one row per hull vertex (collinear mid-edge points excluded — strict
+    turns, the monotone-chain convention), lexicographically ordered
+    within the group; the vertex SET fully determines the hull polygon.
+    """
+
+    def hull(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = np.unique(pdf[[x_col, y_col]].to_numpy(np.int64), axis=0)
+        if len(pts) <= 2:
+            hp = [(int(p[0]), int(p[1])) for p in pts]
+        else:
+            def half(ps):
+                out: list[tuple[int, int]] = []
+                for p in ps:
+                    px, py = int(p[0]), int(p[1])
+                    while len(out) >= 2:
+                        ax, ay = out[-2]
+                        bx, by = out[-1]
+                        if (bx - ax) * (py - ay) - (by - ay) * (px - ax) <= 0:
+                            out.pop()
+                        else:
+                            break
+                    out.append((px, py))
+                return out
+            lower, upper = half(pts), half(pts[::-1])
+            hp = lower[:-1] + upper[:-1]
+        hp = sorted(set(hp))
+        return pd.DataFrame({
+            group_col: [pdf[group_col].iloc[0]] * len(hp),
+            x_col: [a for a, _ in hp],
+            y_col: [b for _, b in hp]})
+
+    schema = f"{group_col} string, {x_col} long, {y_col} long"
+    return (points.select(group_col, x_col, y_col)
+            .groupBy(group_col).applyInPandas(hull, schema))
+
+
 _ISO_DUR = None  # compiled lazily
 
 

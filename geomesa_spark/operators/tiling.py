@@ -232,6 +232,9 @@ def write_tile_pyramid(df: DataFrame, path: str, zooms: list[int], **kwargs) -> 
      .write.mode("overwrite").partitionBy("zoom").parquet(path))
 
 
+PIX_CHECK_MOD = 1_000_000_007  # pix_check modulus (shared with the oracle)
+
+
 def render_tile_images(tiles: DataFrame, *, tile_px: int = 256,
                        value_col: str = "weight",
                        fmt: str = "png") -> DataFrame:
@@ -256,10 +259,10 @@ def render_tile_images(tiles: DataFrame, *, tile_px: int = 256,
     import numpy as np
     import pandas as pd
 
-    from geomesa_spark.sources.images import encode_pixels
+    from geomesa_spark.sources.images import decode_image, encode_pixels
 
     out_schema = ("zoom int, tx int, ty int, n_px int, vmax double, "
-                  "bytes binary")
+                  "pix_check long, bytes binary")
 
     def render(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         zoom, tx, ty = (int(k) for k in key)
@@ -270,10 +273,21 @@ def render_tile_images(tiles: DataFrame, *, tile_px: int = 256,
         v8 = np.floor(arr / vmax * 255.0).astype(np.uint8) if vmax > 0 \
             else arr.astype(np.uint8)
         rgb = np.repeat(v8[:, :, None], 3, axis=2)
+        blob = encode_pixels(rgb, fmt)
+        # pix_check: polynomial checksum of the DECODED blob raster —
+        # proves the binary tile's contents against a pure-SQL oracle
+        # recomputing the same sum from the sparse pixel rows (exact for
+        # the lossless codec; jpeg quantization intentionally differs).
+        dec = decode_image(blob)[:, :, 0].astype(np.int64)
+        rr, cc = np.nonzero(dec)
+        pys = (tile_px - 1 - rr).astype(np.int64)
+        mix = (cc * 1315423911 + pys * 2654435761) % PIX_CHECK_MOD
+        pix_check = int((dec[rr, cc] * mix).sum() % PIX_CHECK_MOD)
         return pd.DataFrame([{
             "zoom": zoom, "tx": tx, "ty": ty,
             "n_px": int((pdf[value_col].to_numpy() != 0).sum()),
-            "vmax": vmax, "bytes": encode_pixels(rgb, fmt),
+            "vmax": vmax, "pix_check": pix_check,
+            "bytes": blob,
         }])
 
     return tiles.groupBy("zoom", "tx", "ty").applyInPandas(render,

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Per-stage N-vs-4N scaling profile for the scaling-bench pipeline.
+
+bench_scaling.py answers "what is the end-to-end efficiency"; this answers
+"WHICH stage loses it".  Same job, same pinning (taskset, proportional
+memory, fixed 256 input splits), but timed as cumulative stage prefixes:
+
+  scan    — synthetic image table scan + column derivation only
+  join    — scan + broadcast PIP join (span cover + ray-cast refine)
+  weight  — join + gaussian great-circle weight
+  pipeline— weight + rollup tile pyramid (zooms 0/2/4/6/8 @256px)
+
+Per-stage increments (stage minus previous prefix) localize the
+efficiency loss; /proc/stat steal fractions are reported per phase.
+
+Usage: python scripts/profile_stages.py [--rows 32000000] [--n 8] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time, math
+cores = int(sys.argv[1]); rows = int(sys.argv[2]); reps = int(sys.argv[3])
+from geomesa_spark.session import get_spark
+spark = get_spark("stage-profile", master=f"local[{cores}]",
+                  shuffle_partitions=cores * 8)
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+from geomesa_spark.operators.pip_join import pip_join_broadcast
+from geomesa_spark.operators.tiling import tile_pyramid
+from geomesa_spark.sources.images import synthetic_images_geo
+
+def circle(cx, cy, r, n=32):
+    pts = [(cx + r*math.cos(2*math.pi*i/n), cy + r*math.sin(2*math.pi*i/n))
+           for i in range(n)]
+    pts.append(pts[0])
+    return ("POLYGON ((" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+            + "))")
+
+POLYS, CENTERS = [], []
+for i in range(64):
+    h = (i * 2654435761) % 4294967296
+    cx = h / 4294967296 * 340 - 170
+    cy = ((h * 31) % 4294967296) / 4294967296 * 160 - 80
+    POLYS.append((f"p{i}", circle(cx, cy, 6.0 + 3.0 * (i % 7))))
+    CENTERS.append((f"p{i}", cx, cy))
+
+PARTS = 256
+
+def scan(n):
+    return synthetic_images_geo(spark, n, PARTS)
+
+def joined(n):
+    return pip_join_broadcast(scan(n), POLYS, lon_col="lon", lat_col="lat")
+
+def weighted(j):
+    centers = spark.createDataFrame(CENTERS,
+                                    "poly_id string, cx double, cy double")
+    hav = ("2.0 * 6371008.8 * asin(sqrt(least("
+           "pow(sin((radians(lat) - radians(cy)) / 2), 2) + "
+           "cos(radians(cy)) * cos(radians(lat)) * "
+           "pow(sin((radians(lon) - radians(cx)) / 2), 2), 1.0)))")
+    return (j.join(F.broadcast(centers), "poly_id")
+            .withColumn("w", F.expr(f"exp(-pow(({hav}) / 400000.0, 2))")))
+
+def pipeline(n):
+    return tile_pyramid(weighted(joined(n)), [0, 2, 4, 6, 8], tile_px=256,
+                        weight="w")
+
+STAGES = {
+    # max() forces the expression columns; count() alone would prune them
+    "scan": lambda n: scan(n).agg(F.max("lon"), F.max("ts")).collect(),
+    "join": lambda n: joined(n).count(),
+    "weight": lambda n: weighted(joined(n)).agg(F.max("w")).collect(),
+    "pipeline": lambda n: pipeline(n).count(),
+}
+
+pipeline(2_000_000).count()  # warmup: JIT/codegen on every stage shape
+res = {k: [] for k in STAGES}
+for _ in range(reps):
+    for name, fn in STAGES.items():
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.time()
+        fn(rows)
+        res[name].append(round(time.time() - t0, 3))
+print(json.dumps({"cores": cores, "rows": rows,
+                  **{k: min(v) for k, v in res.items()},
+                  "all_runs": res}))
+spark.stop()
+"""
+
+
+def run(cores: int, rows: int, reps: int) -> dict:
+    cmd = [sys.executable, "-c", WORKER, str(cores), str(rows), str(reps)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores),
+             "SPARK_GRAFT_DRIVER_MEM": f"{int(1.5 * cores)}g"})
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        raise SystemExit(1)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scripts.bench_scaling import StealMeter, calibrate, wait_quiet
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=32_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    pre = wait_quiet()
+    calib_n = calibrate(args.n)
+    with StealMeter() as st_n:
+        lo = run(args.n, args.rows, args.reps)
+    calib_4n = calibrate(args.n * 4)
+    with StealMeter() as st_4n:
+        hi = run(args.n * 4, args.rows, args.reps)
+    ceiling = min(1.0, calib_n / calib_4n)
+
+    stages = ["scan", "join", "weight", "pipeline"]
+    incr = {}
+    prev_lo = prev_hi = 0.0
+    for s in stages:
+        d_lo, d_hi = lo[s] - prev_lo, hi[s] - prev_hi
+        eff = (d_lo / d_hi) / 4 if d_hi > 0 else None
+        incr[s] = {"n_sec": round(d_lo, 2), "n4_sec": round(d_hi, 2),
+                   "cum_n_sec": lo[s], "cum_n4_sec": hi[s],
+                   "raw_eff": round(eff, 3) if eff else None,
+                   "norm_eff": round(min(1.0, eff / ceiling), 3) if eff else None}
+        prev_lo, prev_hi = lo[s], hi[s]
+
+    report = {"rows": args.rows, "n": args.n, "n4": args.n * 4,
+              "pre_steal_pct": pre,
+              "steal_pct": {"n": st_n.pct, "4n": st_4n.pct},
+              "calib_sec": {"n": round(calib_n, 2), "4n": round(calib_4n, 2)},
+              "cpu_scaling_ceiling": round(ceiling, 3),
+              "stages": incr, "raw": {"n": lo, "4n": hi}}
+    print(json.dumps(report, indent=2))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/stage_profile.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -228,3 +228,63 @@ class TestTransformProcesses:
                    "#FFF8DC", "#F5DEB3"}          # HashAttributeProcess.scala:78-85
         assert {r.hash for r in out} <= palette
         assert len({r.hash for r in out}) > 1
+
+
+def test_convex_hull_vertices_edge_cases(spark):
+    """Integer hull-vertex kernel: vertical stacks, collinear runs, and
+    mid-edge points must all resolve to vertices-only (strict turns)."""
+    from geomesa_spark.operators.processes import convex_hull_vertices
+    rows = []
+    # square with mid-edge + interior + vertical-stack points
+    sq = [(0, 0), (10, 0), (10, 10), (0, 10),      # vertices
+          (5, 0), (10, 5), (5, 10), (0, 5),        # mid-edge (collinear)
+          (5, 5), (3, 7),                          # interior
+          (0, 3), (0, 8)]                          # extra min-x stack
+    rows += [("sq", x, y) for x, y in sq]
+    # all-collinear group: only the two endpoints are vertices
+    rows += [("line", i, 2 * i) for i in range(5)]
+    # single point group
+    rows += [("dot", 7, 7)]
+    # two-point group
+    rows += [("pair", 1, 1), ("pair", 4, 9)]
+    df = spark.createDataFrame(rows, "grp string, x_ppm long, y_ppm long")
+    out = convex_hull_vertices(df, "grp")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["grp"], set()).add((r["x_ppm"], r["y_ppm"]))
+    assert got["sq"] == {(0, 0), (10, 0), (10, 10), (0, 10)}
+    assert got["line"] == {(0, 0), (4, 8)}
+    assert got["dot"] == {(7, 7)}
+    assert got["pair"] == {(1, 1), (4, 9)}
+
+
+def test_convex_hull_oracle_sql_edge_cases(spark):
+    """The DuckDB hull characterization agrees with the kernel on the
+    same adversarial point sets (vertical stacks, collinear, dupes)."""
+    import duckdb
+
+    import numpy as np
+
+    from geomesa_spark.entry_queries_processes import Q_CONVEX_HULL_SQL
+    from geomesa_spark.operators.processes import convex_hull_vertices
+    rng = np.random.RandomState(11)
+    rows = []
+    for g in range(3):
+        n = 200
+        xs = rng.randint(-50, 51, n)
+        ys = rng.randint(-50, 51, n)
+        rows += [(f"g{g}", int(x), int(y)) for x, y in zip(xs, ys)]
+        # force vertical stacks at the extremes
+        rows += [(f"g{g}", -50, v) for v in (-10, 0, 10)]
+        rows += [(f"g{g}", 50, v) for v in (-10, 0, 10)]
+    df = spark.createDataFrame(rows, "grp string, x_ppm long, y_ppm long")
+    got = {(r["grp"], r["x_ppm"], r["y_ppm"])
+           for r in convex_hull_vertices(df, "grp").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (grp text, x bigint, y bigint)")
+    con.executemany("INSERT INTO pts VALUES (?, ?, ?)", rows)
+    # reuse the oracle body with the geo CTE swapped for the raw table
+    body = Q_CONVEX_HULL_SQL.split("p AS (", 1)[1].split("\n),\n", 1)[1]
+    sql = ("WITH p AS (SELECT DISTINCT grp, x, y FROM pts),\n" + body)
+    want = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
