@@ -92,6 +92,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             took = time.time() - t1
             best = took if best is None else min(best, took)
+            # tile_pyramid persists its levels (exchange-reuse workaround);
+            # drop them so one query's cache never feeds the next timing
+            spark.catalog.clearCache()
         q_times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -105,7 +108,9 @@ def main() -> None:
             "scaling_efficiency_join": s["scaling_efficiency_join"],
             "scaling_rows": s["rows"],
         }
-        for k in ("cpu_scaling_ceiling", "normalized_efficiency_pipeline"):
+        for k in ("cpu_scaling_ceiling", "normalized_efficiency_pipeline",
+                  "median_efficiency_pipeline",
+                  "median_normalized_efficiency_pipeline"):
             if k in s:
                 scaling[k] = s[k]
     except (OSError, KeyError, ValueError):

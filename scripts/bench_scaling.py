@@ -366,6 +366,33 @@ Raw per-run numbers (all repetitions):
 
 Generated by `python scripts/bench_scaling.py --rows {args.rows} --n {args.n} --reps {args.reps}`.
 """)
+        f.write(_stage_profile_section())
+
+
+def _stage_profile_section() -> str:
+    """Markdown table from BENCH/stage_profile.json (profile_stages.py),
+    localizing WHICH stage loses efficiency at 4N — empty if absent."""
+    try:
+        with open("BENCH/stage_profile.json") as f:
+            sp = json.load(f)
+    except (OSError, ValueError):
+        return ""
+    rows = "".join(
+        f"| {name} | {st['n_sec']}s | {st['n4_sec']}s "
+        f"| {st['raw_eff']} | {st['norm_eff']} |\n"
+        for name, st in sp["stages"].items())
+    return f"""
+## Per-stage profile (which stage loses efficiency at 4N)
+
+Same job timed as cumulative stage prefixes at {sp['rows']:,} rows
+(`python scripts/profile_stages.py`); incremental per-stage seconds below
+(stage minus previous prefix).  Host ceiling during this profile:
+{sp['cpu_scaling_ceiling']} (calib {sp['calib_sec']['n']}s/{sp['calib_sec']['4n']}s,
+steal {sp['steal_pct']['n']}%/{sp['steal_pct']['4n']}%).
+
+| stage (incremental) | N={sp['n']}c | 4N={sp['n4']}c | raw eff | normalized |
+|---|---|---|---|---|
+""" + rows
 
 
 if __name__ == "__main__":
