@@ -86,6 +86,7 @@ def pipeline(n):
                         weight="w")
 
 pipeline(4_000_000).count()          # warmup: JIT/codegen, every task slot
+spark.catalog.clearCache()
 res = {"join_sec": [], "pipeline_sec": []}
 for _ in range(reps):
     # collect garbage from the previous rep FIRST: carried heap debt made
@@ -99,6 +100,9 @@ for _ in range(reps):
     t1 = time.time()
     n_px = pipeline(rows).count()
     res["pipeline_sec"].append(round(time.time() - t1, 3))
+    # tile_pyramid persists its finest level: drop it so cached copies
+    # from one rep never pressure the next timing
+    spark.catalog.clearCache()
 print(json.dumps({"cores": cores, "rows": rows, "join_rows": join_rows,
                   "pyramid_pixels": n_px,
                   "join_sec": min(res["join_sec"]),

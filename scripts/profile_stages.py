@@ -82,6 +82,7 @@ STAGES = {
 }
 
 pipeline(2_000_000).count()  # warmup: JIT/codegen on every stage shape
+spark.catalog.clearCache()
 res = {k: [] for k in STAGES}
 for _ in range(reps):
     for name, fn in STAGES.items():
@@ -89,6 +90,9 @@ for _ in range(reps):
         t0 = time.time()
         fn(rows)
         res[name].append(round(time.time() - t0, 3))
+        # tile_pyramid persists its finest level: drop it so cached copies
+        # from one rep never pressure the next timing
+        spark.catalog.clearCache()
 print(json.dumps({"cores": cores, "rows": rows,
                   **{k: min(v) for k, v in res.items()},
                   "all_runs": res}))
@@ -120,13 +124,21 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
-    pre = wait_quiet()
-    calib_n = calibrate(args.n)
-    with StealMeter() as st_n:
-        lo = run(args.n, args.rows, args.reps)
-    calib_4n = calibrate(args.n * 4)
-    with StealMeter() as st_4n:
-        hi = run(args.n * 4, args.rows, args.reps)
+    def measured_phase(cores):
+        """wait for a quiet host, calibrate, run — retry the whole phase
+        (up to 2x) if hypervisor steal during the run exceeded 3%, so one
+        noisy neighbor minute cannot poison a level's numbers."""
+        for attempt in range(3):
+            pre = wait_quiet()
+            calib = calibrate(cores)
+            with StealMeter() as st:
+                r = run(cores, args.rows, args.reps)
+            if st.pct < 3.0 or attempt == 2:
+                return pre, calib, st.pct, r
+            sys.stderr.write(f"steal {st.pct}% during {cores}c phase — retrying\n")
+
+    pre, calib_n, steal_n, lo = measured_phase(args.n)
+    _, calib_4n, steal_4n, hi = measured_phase(args.n * 4)
     ceiling = min(1.0, calib_n / calib_4n)
 
     stages = ["scan", "join", "weight", "pipeline"]
@@ -143,7 +155,7 @@ def main() -> None:
 
     report = {"rows": args.rows, "n": args.n, "n4": args.n * 4,
               "pre_steal_pct": pre,
-              "steal_pct": {"n": st_n.pct, "4n": st_4n.pct},
+              "steal_pct": {"n": steal_n, "4n": steal_4n},
               "calib_sec": {"n": round(calib_n, 2), "4n": round(calib_4n, 2)},
               "cpu_scaling_ceiling": round(ceiling, 3),
               "stages": incr, "raw": {"n": lo, "4n": hi}}
