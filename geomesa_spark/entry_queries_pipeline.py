@@ -310,12 +310,22 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for 5 query vectors (the exact baseline)."""
+    """Two ANN operators, one tagged driver row: the brute-force cosine
+    top-5 (the exact baseline, algo='brute') UNION the multiprobe sign-LSH
+    top-5 (algo='multiprobe' — the query side additionally probes every
+    single-bit-flip neighbor key, Lv et al. VLDB'07, recall recovered
+    without growing the corpus-side index).  Oracle: the multiprobe
+    candidates are exactly the pairs whose band keys differ by
+    hamming <= 1."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.cosine_topk(embs, embs.where("vec_id < 5"), k=5)
+    brute = ann.cosine_topk(embs, embs.where("vec_id < 5"), k=5)
+    multi = ann.lsh_topk_multiprobe(embs, embs.where("vec_id < 5"), k=5,
+                                    bits=ann.DEFAULT_BITS)
+    return (brute.select(F.lit("brute").alias("algo"), "*")
+            .unionByName(multi.select(F.lit("multiprobe").alias("algo"), "*")))
 
 
-Q_ANN_TOPK_SQL = f"""
+Q_ANN_BRUTE_SQL = f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5
 ),
@@ -372,16 +382,6 @@ SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
 """
 
 
-def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multiprobe sign-LSH ANN top-5: the query side additionally probes
-    every single-bit-flip neighbor key (Lv et al., VLDB'07) — recall
-    recovered without growing the corpus-side index.  Oracle: candidates
-    are exactly the pairs whose band keys differ by hamming <= 1."""
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann.lsh_topk_multiprobe(embs, embs.where("vec_id < 5"), k=5,
-                                   bits=ann.DEFAULT_BITS)
-
-
 Q_ANN_MULTIPROBE_SQL = f"""
 WITH b AS ({_band_cte('embeddings')}),
 q AS (SELECT vec_id AS qid, embedding AS qvec, band, key
@@ -400,6 +400,13 @@ ranked AS (
   FROM cand
 )
 SELECT qid, vec_id, CAST(rn AS INT) AS ann_rank FROM ranked WHERE rn <= 5
+"""
+
+# the merged ann_topk driver row: brute-force baseline + multiprobe LSH
+Q_ANN_TOPK_SQL = f"""
+SELECT 'brute' AS algo, * FROM ({Q_ANN_BRUTE_SQL})
+UNION ALL
+SELECT 'multiprobe' AS algo, * FROM ({Q_ANN_MULTIPROBE_SQL})
 """
 
 
@@ -444,18 +451,33 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         index_path=cache_path("ivf_index", sf_dir))
 
 
-Q_IVF_ANN_SQL = Q_ANN_TOPK_SQL
+Q_IVF_ANN_SQL = Q_ANN_BRUTE_SQL
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band pigeonhole candidates + exact
-    bit_count(xor) verify, hamming <= 3.  The (id, simhash) signature is
-    a materialized write-time table scanned by both join sides."""
-    return dedup.simhash_pairs(docsrc.corpus(spark, sf_dir), max_hamming=3,
-                               sig_path=cache_path("simhash_sigs", sf_dir))
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two dedup operators, one tagged driver row.  'pair' rows: SimHash
+    near-dup pairs — byte-band pigeonhole candidates + exact
+    bit_count(xor) verify, hamming <= 3, over the materialized write-time
+    (id, simhash) signature table.  'keep' rows: the greedy dedup sweep
+    built on those pairs (dedup_keep_canonical's keep-lowest-id left-anti
+    join — the standard web-corpus policy), surviving doc id in id_a with
+    -1 sentinels for the pair-only columns."""
+    corpus = docsrc.corpus(spark, sf_dir)
+    pairs = dedup.simhash_pairs(corpus, max_hamming=3,
+                                sig_path=cache_path("simhash_sigs", sf_dir))
+    keep = dedup.dedup_keep_canonical(corpus, pairs).select("doc_id")
+    neg1 = F.lit(-1).cast("long")
+    return (pairs.select(F.lit("pair").alias("stage"),
+                         F.col("id_a").cast("long").alias("id_a"),
+                         F.col("id_b").cast("long").alias("id_b"),
+                         F.col("hamming").cast("long").alias("hamming"))
+            .unionByName(keep.select(
+                F.lit("keep").alias("stage"),
+                F.col("doc_id").cast("long").alias("id_a"),
+                neg1.alias("id_b"), neg1.alias("hamming"))))
 
 
-Q_SIMHASH_PAIRS_SQL = f"""
+_Q_SIMHASH_PAIRS_SQL = f"""
 {CORPUS},
 tk AS (
   SELECT doc_id, {pt.token_hashes(pt.tokens('text', D), D)} AS th FROM corpus
@@ -491,31 +513,28 @@ FROM cand WHERE hamming <= 3
 """
 
 
-def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end fuzzy-dedup sweep: simhash near-dup pairs -> drop every
-    doc that duplicates a lower-id doc (dedup_keep_canonical's single
-    left-anti join) -> surviving doc ids.  The greedy keep-lowest-id
-    policy is the standard web-corpus dedup sweep."""
-    corpus = docsrc.corpus(spark, sf_dir)
-    pairs = dedup.simhash_pairs(corpus, max_hamming=3,
-                                sig_path=cache_path("simhash_sigs", sf_dir))
-    return (dedup.dedup_keep_canonical(corpus, pairs)
-            .select("doc_id"))
+_SIMHASH_PAIRS_BODY = _Q_SIMHASH_PAIRS_SQL.split("SELECT id_a", 1)[0]
 
-
-_SIMHASH_PAIRS_BODY = Q_SIMHASH_PAIRS_SQL.split("SELECT id_a", 1)[0]
-
-Q_DEDUP_SWEEP_SQL = f"""
+Q_SIMHASH_DEDUP_SQL = f"""
 {_SIMHASH_PAIRS_BODY}
-SELECT c.doc_id FROM corpus c
+SELECT 'pair' AS stage, id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3
+UNION ALL
+SELECT 'keep' AS stage, c.doc_id AS id_a,
+       CAST(-1 AS BIGINT) AS id_b, CAST(-1 AS BIGINT) AS hamming
+FROM corpus c
 WHERE c.doc_id NOT IN (SELECT id_b FROM cand WHERE hamming <= 3)
 """
 
 
 PIPELINE_QUERIES = {
     "exact_dedup": (q_exact_dedup, Q_EXACT_DEDUP_SQL),
-    "simhash_pairs": (q_simhash_pairs, Q_SIMHASH_PAIRS_SQL),
-    "dedup_sweep": (q_dedup_sweep, Q_DEDUP_SWEEP_SQL),
+    # simhash_dedup consolidates the former simhash_pairs / dedup_sweep
+    # entries (both operators still run, rows tagged by `stage`); ann_topk
+    # likewise carries the former ann_multiprobe rows tagged by `algo` —
+    # like text_features below, so every oracle-backed query fits the
+    # driver's 50-row recorded window
+    "simhash_dedup": (q_simhash_dedup, Q_SIMHASH_DEDUP_SQL),
     "ngram_jaccard": (q_ngram_jaccard, Q_NGRAM_JACCARD_SQL),
     "minhash_lsh": (q_minhash_lsh, Q_MINHASH_LSH_SQL),
     "simhash": (q_simhash, Q_SIMHASH_SQL),
@@ -527,6 +546,5 @@ PIPELINE_QUERIES = {
     "ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "ivf_ann": (q_ivf_ann, Q_IVF_ANN_SQL),
-    "ann_multiprobe": (q_ann_multiprobe, Q_ANN_MULTIPROBE_SQL),
     "embed_near_dup": (q_embed_near_dup, Q_EMBED_NEAR_DUP_SQL),
 }

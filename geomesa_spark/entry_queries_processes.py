@@ -196,25 +196,40 @@ SELECT user_id, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5
 """
 
 
-def q_z3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z3Histogram: counts keyed by (week bin, res-4 grid cell)."""
+def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two histogram stats, one tagged driver row.  kind='value': fixed-
+    width bins of `value` (the Histogram stat; b1 = bucket, b2 = -1).
+    kind='z3': Z3Histogram — counts keyed by (week bin -> b1, res-4 grid
+    cell -> b2), the reference's spatio-temporal sketch."""
     df = geo_events(spark, sf_dir)
+    neg1 = F.lit(-1).cast("long")
+    val = (df.withColumn("b1", F.floor(F.col("value") / 50.0).cast("long"))
+           .groupBy("b1").agg(F.count("*").alias("cnt"))
+           .select(F.lit("value").alias("kind"), "b1",
+                   neg1.alias("b2"), "cnt"))
     week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
     ix = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 16), F.lit(15))
     iy = F.least(F.floor((F.col("lat") + 90.0) / 180.0 * 16), F.lit(15))
-    return (df.withColumn("week_bin", week)
-            .withColumn("cell", (iy * 16 + ix).cast("long"))
-            .groupBy("week_bin", "cell").agg(F.count("*").alias("cnt")))
+    z3 = (df.withColumn("b1", week)
+          .withColumn("b2", (iy * 16 + ix).cast("long"))
+          .groupBy("b1", "b2").agg(F.count("*").alias("cnt"))
+          .select(F.lit("z3").alias("kind"), "b1", "b2", "cnt"))
+    return val.unionByName(z3)
 
 
-Q_Z3_HISTOGRAM_SQL = f"""
+Q_HISTOGRAMS_SQL = f"""
 {GEO}
-SELECT CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week_bin,
+SELECT 'value' AS kind, CAST(floor(value / 50.0) AS BIGINT) AS b1,
+       CAST(-1 AS BIGINT) AS b2, count(*) AS cnt
+FROM geo GROUP BY 2
+UNION ALL
+SELECT 'z3' AS kind,
+       CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS b1,
        CAST(least(floor((lat + 90.0e0) / 180.0e0 * 16), 15) * 16
             + least(floor((lon + 180.0e0) / 360.0e0 * 16), 15) AS BIGINT)
-         AS cell,
+         AS b2,
        count(*) AS cnt
-FROM geo GROUP BY 1, 2
+FROM geo GROUP BY 2, 3
 """
 
 
@@ -711,7 +726,9 @@ PROCESS_QUERIES = {
     "merged_view": (q_merged_view, Q_MERGED_VIEW_SQL),
     "lookup_join": (q_lookup_join, Q_LOOKUP_JOIN_SQL),
     "topk": (q_topk, Q_TOPK_SQL),
-    "z3_histogram": (q_z3_histogram, Q_Z3_HISTOGRAM_SQL),
+    # "histogram" consolidates the former histogram / z3_histogram entries
+    # (both stats still computed, rows tagged by `kind`)
+    "histogram": (q_histograms, Q_HISTOGRAMS_SQL),
     "bin_export": (q_bin_export, Q_BIN_EXPORT_SQL),
     "attr_filter": (q_attr_filter, Q_ATTR_FILTER_SQL),
     "json_attr": (q_json_attr, Q_JSON_ATTR_SQL),

@@ -170,7 +170,7 @@ def reproject(df: DataFrame, src: str | int, dst: str | int,
     north/south).  Unknown codes raise ValueError — the reference
     delegates others to GeoTools (QueryPlanner.scala:297-301)."""
     s, d = _parse_epsg(src), _parse_epsg(dst)
-    clash = [c for c in df.columns if c.startswith(("__rp_", "__hd_"))]
+    clash = [c for c in df.columns if c.startswith(("__rp_", "__hd_", "__gs_"))]
     if clash:
         raise ValueError(
             f"reproject: reserved temp columns present: {clash}")
@@ -700,6 +700,145 @@ OSGB36_DATUM = HelmertDatum(AIRY1830_A, AIRY1830_F,
                             0.1502, 0.2470, 0.8421, -20.4894)
 
 
+class GridShiftDatum:
+    """NTv2-style grid-shift datum transform (the reference reaches these
+    through GeoTools' NTv2 grid handlers when a gridded transform is
+    registered for a CRS pair; the grid layout follows the published NTv2
+    specification).
+
+    A regular (nlat x nlon) node grid starting at (lat0, lon0) with steps
+    (dlat, dlon) degrees carries per-node shifts in ARC-SECONDS, NTv2
+    sign conventions: latitude shift positive north, longitude shift
+    positive WEST (the spec's historical quirk; this class negates it
+    internally).  Shifts are interpolated bilinearly from the four
+    surrounding nodes AT SOURCE-DATUM coordinates; ``to_wgs84=True`` adds
+    them, and the opposite direction is the standard fixed-point
+    iteration (re-evaluate the forward shift at the current estimate and
+    subtract), unrolled twice — real grids vary by < 1e-4 deg per node,
+    so two iterations close round trips to ~1e-10 deg.  Outside the grid
+    the shift is zero (GeoTools' lenient no-coverage behavior): the
+    transform degrades to ellipsoid-only instead of erroring mid-job.
+
+    Scale: the node arrays ship inside the plan as constant array
+    LITERALS (element_at on a literal is O(1) per row, whole-stage
+    codegen, zero joins) — right up to ~10^4 nodes.  A continental
+    full-resolution grid (10^6+ nodes) would instead be a broadcast
+    (cell -> 4 corner shifts) table joined on the floor-snapped cell id,
+    same blend arithmetic — an ingest-time choice, not a different
+    transform.  A .gsb reader would populate this constructor after
+    reordering the file's SE-corner-first scan into row-major-from-south.
+    """
+
+    def __init__(self, lat0: float, lon0: float, dlat: float, dlon: float,
+                 nlat: int, nlon: int,
+                 lat_shift_sec, lon_shift_sec_west):
+        if len(lat_shift_sec) != nlat * nlon or \
+                len(lon_shift_sec_west) != nlat * nlon:
+            raise ValueError("grid arrays must be nlat*nlon, row-major "
+                             "from (lat0, lon0) northward/eastward")
+        self.lat0, self.lon0, self.dlat, self.dlon = lat0, lon0, dlat, dlon
+        self.nlat, self.nlon = int(nlat), int(nlon)
+        self.lat_sec = [float(v) for v in lat_shift_sec]
+        self.lon_sec_west = [float(v) for v in lon_shift_sec_west]
+
+    # -- Catalyst path ----------------------------------------------------
+
+    def _stage_shift(self, df: DataFrame, lon_c: str, lat_c: str,
+                     tag: str) -> DataFrame:
+        """Stage __gs_{tag}_dlon/__gs_{tag}_dlat (DEGREES, positive east/
+        north) = bilinear node blend at (lon_c, lat_c).  Staged columns
+        keep the tree linear, same reasoning as HelmertDatum.apply."""
+        nlat, nlon = self.nlat, self.nlon
+        df = (df
+              .withColumn(f"__gs_{tag}_gx",
+                          (F.col(lon_c) - F.lit(self.lon0)) / F.lit(self.dlon))
+              .withColumn(f"__gs_{tag}_gy",
+                          (F.col(lat_c) - F.lit(self.lat0)) / F.lit(self.dlat)))
+        gx, gy = F.col(f"__gs_{tag}_gx"), F.col(f"__gs_{tag}_gy")
+        df = (df
+              .withColumn(f"__gs_{tag}_ix",
+                          F.least(F.greatest(F.floor(gx), F.lit(0)),
+                                  F.lit(nlon - 2)).cast("int"))
+              .withColumn(f"__gs_{tag}_iy",
+                          F.least(F.greatest(F.floor(gy), F.lit(0)),
+                                  F.lit(nlat - 2)).cast("int")))
+        ix, iy = F.col(f"__gs_{tag}_ix"), F.col(f"__gs_{tag}_iy")
+        fx, fy = gx - ix, gy - iy
+        inside = ((gx >= 0) & (gx <= F.lit(float(nlon - 1)))
+                  & (gy >= 0) & (gy <= F.lit(float(nlat - 1))))
+        base = iy * F.lit(nlon) + ix + F.lit(1)   # element_at is 1-based
+
+        def blend(arr: Column, sign: float) -> Column:
+            v = (F.element_at(arr, base) * (1 - fx) * (1 - fy)
+                 + F.element_at(arr, base + 1) * fx * (1 - fy)
+                 + F.element_at(arr, base + nlon) * (1 - fx) * fy
+                 + F.element_at(arr, base + nlon + 1) * fx * fy)
+            return F.when(inside, v * F.lit(sign / 3600.0)).otherwise(0.0)
+
+        return (df
+                .withColumn(f"__gs_{tag}_dlat", blend(F.lit(self.lat_sec), 1.0))
+                .withColumn(f"__gs_{tag}_dlon",
+                            blend(F.lit(self.lon_sec_west), -1.0)))
+
+    def apply(self, df: DataFrame, lon_col: str, lat_col: str,
+              out_lon: str, out_lat: str, *, to_wgs84: bool) -> DataFrame:
+        clash = [c for c in df.columns if c.startswith("__gs_")]
+        if clash:
+            raise ValueError(
+                f"GridShiftDatum.apply: reserved temp columns present: {clash}")
+        if to_wgs84:
+            df = self._stage_shift(df, lon_col, lat_col, "f")
+            out = (df.withColumn(out_lon, F.col(lon_col) + F.col("__gs_f_dlon"))
+                     .withColumn(out_lat, F.col(lat_col) + F.col("__gs_f_dlat")))
+        else:
+            # fixed point: est_{k+1} = wgs84 - shift(est_k), est_0 = wgs84
+            df = self._stage_shift(df, lon_col, lat_col, "i0")
+            df = (df.withColumn("__gs_e_lon",
+                                F.col(lon_col) - F.col("__gs_i0_dlon"))
+                    .withColumn("__gs_e_lat",
+                                F.col(lat_col) - F.col("__gs_i0_dlat")))
+            df = self._stage_shift(df, "__gs_e_lon", "__gs_e_lat", "i1")
+            out = (df.withColumn(out_lon, F.col(lon_col) - F.col("__gs_i1_dlon"))
+                     .withColumn(out_lat, F.col(lat_col) - F.col("__gs_i1_dlat")))
+        return out.drop(*[c for c in out.columns if c.startswith("__gs_")])
+
+    # -- numpy twin (st_transform / transform_points_np path) -------------
+
+    def shift_np(self, lon, lat, *, to_wgs84: bool):
+        import numpy as np
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        glat = np.asarray(self.lat_sec).reshape(self.nlat, self.nlon)
+        glon = np.asarray(self.lon_sec_west).reshape(self.nlat, self.nlon)
+
+        def interp(lo, la):
+            gx = (lo - self.lon0) / self.dlon
+            gy = (la - self.lat0) / self.dlat
+            ix = np.clip(np.floor(gx).astype(np.int64), 0, self.nlon - 2)
+            iy = np.clip(np.floor(gy).astype(np.int64), 0, self.nlat - 2)
+            fx, fy = gx - ix, gy - iy
+            inside = ((gx >= 0) & (gx <= self.nlon - 1)
+                      & (gy >= 0) & (gy <= self.nlat - 1))
+
+            def b(g, sign):
+                v = (g[iy, ix] * (1 - fx) * (1 - fy)
+                     + g[iy, ix + 1] * fx * (1 - fy)
+                     + g[iy + 1, ix] * (1 - fx) * fy
+                     + g[iy + 1, ix + 1] * fx * fy)
+                return np.where(inside, v * (sign / 3600.0), 0.0)
+
+            return b(glat, 1.0), b(glon, -1.0)
+
+        if to_wgs84:
+            dla, dlo = interp(lon, lat)
+            return lon + dlo, lat + dla
+        est_lon, est_lat = lon, lat
+        for _ in range(2):
+            dla, dlo = interp(est_lon, est_lat)
+            est_lon, est_lat = lon - dlo, lat - dla
+        return est_lon, est_lat
+
+
 # parameterized CRS registry (published EPSG definitions); extensible via
 # register_crs for state-plane zones etc.
 CRS_REGISTRY: dict[int, object] = {
@@ -841,6 +980,14 @@ def _helmert_np(dt: HelmertDatum, lon, lat, *, to_wgs84: bool):
     return np.degrees(np.arctan2(y, x)), np.degrees(phi2)
 
 
+def _datum_np(datum, lon, lat, *, to_wgs84: bool):
+    """Numpy-side datum dispatch: grid-shift datums carry their own numpy
+    twin; Helmert datums share _helmert_np."""
+    if hasattr(datum, "shift_np"):
+        return datum.shift_np(lon, lat, to_wgs84=to_wgs84)
+    return _helmert_np(datum, lon, lat, to_wgs84=to_wgs84)
+
+
 def transform_points_np(x, y, src: str | int, dst: str | int):
     """reproject()'s CRS dispatch evaluated on numpy arrays (no
     SparkSession) — the per-vertex engine behind st_transform.  Same
@@ -863,7 +1010,7 @@ def transform_points_np(x, y, src: str | int, dst: str | int):
             proj = CRS_REGISTRY[s]
             lon, lat = proj.inverse(x, y)
             if getattr(proj, "datum", None) is not None:
-                lon, lat = _helmert_np(proj.datum, lon, lat, to_wgs84=True)
+                lon, lat = _datum_np(proj.datum, lon, lat, to_wgs84=True)
         else:
             raise ValueError(f"unsupported source CRS: {src}")
         if d == 4326:
@@ -875,7 +1022,7 @@ def transform_points_np(x, y, src: str | int, dst: str | int):
         elif d in CRS_REGISTRY:
             proj = CRS_REGISTRY[d]
             if getattr(proj, "datum", None) is not None:
-                lon, lat = _helmert_np(proj.datum, lon, lat, to_wgs84=False)
+                lon, lat = _datum_np(proj.datum, lon, lat, to_wgs84=False)
             ox, oy = proj.forward(lon, lat)
         else:
             raise ValueError(f"unsupported target CRS: {dst}")

@@ -45,30 +45,39 @@ def encode(lon: float, lat: float, precision_bits: int) -> str:
     return "".join(out)
 
 
-def decode_bounds(gh: str) -> tuple[float, float, float, float]:
-    """(xmin, ymin, xmax, ymax) of the geohash cell."""
+def decode_bounds(gh: str,
+                  precision_bits: int | None = None
+                  ) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of the geohash cell.
+
+    `precision_bits` mirrors the reference's GeoHash(hash, prec)
+    (GeoHashTest.scala:105-119: GeoHash("dqb0cn", 27) is the 27-bit cell,
+    not the 30-bit one): only the first `precision_bits` bits of the
+    string are used; bits past the string (absent in the BitSet) read as
+    0, matching the reference's BitSet semantics."""
     lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
+    n = 5 * len(gh) if precision_bits is None else precision_bits
     even = True
-    for c in gh.lower():
-        v = _DECODE[c]
-        for shift in range(4, -1, -1):
-            bit = (v >> shift) & 1
-            if even:
-                mid = (lo_x + hi_x) / 2
-                if bit:
-                    lo_x = mid
-                else:
-                    hi_x = mid
+    g = gh.lower()
+    for i in range(n):
+        c = g[i // 5] if i // 5 < len(g) else "0"
+        bit = (_DECODE[c] >> (4 - i % 5)) & 1
+        if even:
+            mid = (lo_x + hi_x) / 2
+            if bit:
+                lo_x = mid
             else:
-                mid = (lo_y + hi_y) / 2
-                if bit:
-                    lo_y = mid
-                else:
-                    hi_y = mid
-            even = not even
+                hi_x = mid
+        else:
+            mid = (lo_y + hi_y) / 2
+            if bit:
+                lo_y = mid
+            else:
+                hi_y = mid
+        even = not even
     return lo_x, lo_y, hi_x, hi_y
 
 
-def decode(gh: str) -> tuple[float, float]:
-    xmin, ymin, xmax, ymax = decode_bounds(gh)
+def decode(gh: str, precision_bits: int | None = None) -> tuple[float, float]:
+    xmin, ymin, xmax, ymax = decode_bounds(gh, precision_bits)
     return (xmin + xmax) / 2, (ymin + ymax) / 2

@@ -502,12 +502,15 @@ def _geohash_encode(s: pd.Series, prec: pd.Series) -> pd.Series:
 
 
 def _geom_from_geohash(s: pd.Series, prec: pd.Series) -> pd.Series:
+    # prec is BITS and may be sub-character (GeoHash(hash, prec) semantics,
+    # GeoHashTest.scala:105-119) — bits past it are ignored
     out = []
     for v, p in zip(s, prec):
         if v is None:
             out.append(None)
             continue
-        xmin, ymin, xmax, ymax = geohash.decode_bounds(v)
+        bits = None if p is None or pd.isna(p) else int(p)
+        xmin, ymin, xmax, ymax = geohash.decode_bounds(v, bits)
         out.append(wkb_dumps(model.box(xmin, ymin, xmax, ymax)))
     return pd.Series(out)
 
@@ -518,7 +521,8 @@ def _point_from_geohash(s: pd.Series, prec: pd.Series) -> pd.Series:
         if v is None:
             out.append(None)
             continue
-        x, y = geohash.decode(v)
+        bits = None if p is None or pd.isna(p) else int(p)
+        x, y = geohash.decode(v, bits)
         out.append(wkb_dumps(model.Point(x, y)))
     return pd.Series(out)
 

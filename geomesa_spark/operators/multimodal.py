@@ -14,7 +14,11 @@ Operators:
 * resize           — nearest-neighbor resize (numpy), new bytes + w/h
 * avg_hash         — 64-bit average-hash over the luma channel (a real
                      perceptual hash for dedup joins)
-* frame_sample     — video stub: schema + batching real, decode stubbed
+* frame_sample     — every-n-th video frame fan-out (GSV1 keyframe
+                     container; real MP4 gated on ffmpeg) — each frame an
+                     image blob feeding the operators above
+* audio_features   — duration / RMS / zero-crossings per clip (GSA1 PCM
+                     container; real wav/mp3 gated on libsndfile)
 """
 
 from __future__ import annotations
@@ -176,9 +180,66 @@ def verify_fidelity(original: DataFrame, processed: DataFrame, *,
             .select(key, "psnr_db", "caption_ok", "fidelity_ok"))
 
 
-def frame_sample(df: DataFrame, every_n: int, bytes_col: str = "bytes") -> DataFrame:
-    """Video frame sampling STUB: the batching/schema plumbing is real, the
-    codec is not available in this container."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/PyAV (not installed); the image path "
-        "(decode_stats/transcode/resize/avg_hash) demonstrates the plumbing")
+def frame_sample(df: DataFrame, every_n: int, bytes_col: str = "bytes",
+                 id_col: str = "video_id") -> DataFrame:
+    """Video frame sampling over the GSV1 keyframe container: every
+    ``every_n``-th frame (always including frame 0) emitted as its own
+    row ``(id, frame_idx, frame_bytes)`` — the standard fan-out shape for
+    a frame-level training pipeline (each output frame is a GSI1 image
+    blob that feeds decode_stats/resize/avg_hash directly).
+
+    Arrow-batched ``mapInPandas``: one python pass per batch, partition-
+    preserving (no shuffle — frame fan-out happens inside the task, and a
+    downstream repartition can rebalance if frames/video is skewed).
+    Real MP4/H.264 input raises NotImplementedError inside the decoder
+    (ffmpeg/PyAV not installed); the container format is the only stubbed
+    layer — schema, batching, and fan-out are the production plumbing."""
+    from geomesa_spark.sources.media import decode_video_frames
+
+    out_schema = f"{id_col} long, frame_idx int, frame_bytes binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for vid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                frames = decode_video_frames(bytes(blob))
+                for i in range(0, len(frames), every_n):
+                    ids.append(vid)
+                    idxs.append(i)
+                    blobs.append(frames[i])
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "frame_idx": pd.Series(idxs, dtype="int32"),
+                                "frame_bytes": blobs})
+
+    return df.select(id_col, bytes_col).mapInPandas(sample, out_schema)
+
+
+def audio_features(df: DataFrame, bytes_col: str = "bytes",
+                   id_col: str = "audio_id") -> DataFrame:
+    """Per-clip audio features over the GSA1 PCM container: duration,
+    RMS energy, zero-crossing count — the standard cheap quality/language
+    gating features for an audio training pipeline.  Arrow-batched
+    ``mapInPandas``, partition-preserving; real formats (wav/mp3/flac)
+    raise NotImplementedError inside the decoder (libsndfile/ffmpeg not
+    installed) — only the codec layer is stubbed."""
+    from geomesa_spark.sources.media import decode_audio
+
+    out_schema = (f"{id_col} long, sample_rate int, n_samples int, "
+                  "duration_ms long, rms_milli long, zero_crossings long")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                rate, x = decode_audio(bytes(blob))
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
+                zc = int(np.count_nonzero(np.signbit(x[1:]) !=
+                                          np.signbit(x[:-1]))) if n > 1 else 0
+                rows.append((aid, rate, n, n * 1000 // rate,
+                             int(rms * 1000), zc))
+            yield pd.DataFrame(rows, columns=[id_col, "sample_rate",
+                                              "n_samples", "duration_ms",
+                                              "rms_milli", "zero_crossings"])
+
+    return df.select(id_col, bytes_col).mapInPandas(feats, out_schema)

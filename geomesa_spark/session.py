@@ -50,9 +50,23 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # beats G1 by 20-35% on the shuffle-agg pipeline (measured
         # 45-62s -> 29-53s at local[32]/48g on the 64M-row scaling job; G1
         # pays region scanning + humongous-object handling on shuffle
-        # buffers).  defaultJavaOptions, so user extraJavaOptions override.
-        .config("spark.driver.defaultJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.defaultJavaOptions", "-XX:+UseParallelGC")
+        # buffers).  -Xms=driver memory + AlwaysPreTouch: Spark pre-sizes
+        # EXECUTOR heaps (-Xms=-Xmx) but not the local-mode driver JVM,
+        # whose first big shuffle then pays heap growth + page zeroing
+        # mid-query (measured: first full-size 32c run up to 4x slower
+        # than steady state); pre-touching moves that cost to JVM startup.
+        # defaultJavaOptions, so user extraJavaOptions override.
+        # 512m code cache (default 240m): whole-stage codegen emits a new
+        # class set per plan shape, and a FULL code cache silently disables
+        # the JIT ("CodeCache is full. Compiler has been disabled") — the
+        # measured symptom is progressive 2-4x degradation across queries
+        # in one long-lived session, worst on trig-heavy projections.
+        .config("spark.driver.defaultJavaOptions",
+                "-XX:+UseParallelGC -XX:+AlwaysPreTouch "
+                "-XX:ReservedCodeCacheSize=512m -Xms"
+                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executor.defaultJavaOptions",
+                "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m")
     )
 
 

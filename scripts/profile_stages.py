@@ -59,15 +59,23 @@ def scan(n):
 def joined(n):
     return pip_join_broadcast(scan(n), POLYS, lon_col="lon", lat_col="lat")
 
+# literal-map centroid lookup, matching bench_scaling.py (the broadcast-join
+# form hits a non-deterministic interleaved-plan JVM pathology — see the
+# comment there)
+from itertools import chain
+_cx = F.create_map(*chain.from_iterable(
+    (F.lit(p), F.lit(x)) for p, x, _ in CENTERS))
+_cy = F.create_map(*chain.from_iterable(
+    (F.lit(p), F.lit(y)) for p, _, y in CENTERS))
+
 def weighted(j):
-    centers = spark.createDataFrame(CENTERS,
-                                    "poly_id string, cx double, cy double")
     hav = ("2.0 * 6371008.8 * asin(sqrt(least("
            "pow(sin((radians(lat) - radians(cy)) / 2), 2) + "
            "cos(radians(cy)) * cos(radians(lat)) * "
            "pow(sin((radians(lon) - radians(cx)) / 2), 2), 1.0)))")
-    return (j.join(F.broadcast(centers), "poly_id")
-            .withColumn("w", F.expr(f"exp(-pow(({hav}) / 400000.0, 2))")))
+    return (j.withColumn("cx", _cx[F.col("poly_id")])
+             .withColumn("cy", _cy[F.col("poly_id")])
+             .withColumn("w", F.expr(f"exp(-pow(({hav}) / 400000.0, 2))")))
 
 def pipeline(n):
     return tile_pyramid(weighted(joined(n)), [0, 2, 4, 6, 8], tile_px=256,
@@ -142,16 +150,31 @@ def main() -> None:
     ceiling = min(1.0, calib_n / calib_4n)
 
     stages = ["scan", "join", "weight", "pipeline"]
+
+    def increments(phase: dict) -> dict:
+        """Min over reps of the SAME-REP stage increment.  Subtracting
+        independently-min'd cumulative prefixes (the old form) mixes runs
+        measured minutes apart — one noisy rep then yields a nonsense
+        increment (even negative); within a rep the prefix and its
+        successor share the same host minute."""
+        runs = phase["all_runs"]
+        out, prev = {}, None
+        for s in stages:
+            per_rep = [runs[s][i] - (runs[prev][i] if prev else 0.0)
+                       for i in range(len(runs[s]))]
+            out[s] = min(per_rep)
+            prev = s
+        return out
+
+    d_lo_all, d_hi_all = increments(lo), increments(hi)
     incr = {}
-    prev_lo = prev_hi = 0.0
     for s in stages:
-        d_lo, d_hi = lo[s] - prev_lo, hi[s] - prev_hi
+        d_lo, d_hi = d_lo_all[s], d_hi_all[s]
         eff = (d_lo / d_hi) / 4 if d_hi > 0 else None
         incr[s] = {"n_sec": round(d_lo, 2), "n4_sec": round(d_hi, 2),
                    "cum_n_sec": lo[s], "cum_n4_sec": hi[s],
                    "raw_eff": round(eff, 3) if eff else None,
                    "norm_eff": round(min(1.0, eff / ceiling), 3) if eff else None}
-        prev_lo, prev_hi = lo[s], hi[s]
 
     report = {"rows": args.rows, "n": args.n, "n4": args.n * 4,
               "pre_steal_pct": pre,

@@ -392,3 +392,99 @@ class TestPublishedWorkedExamples:
             x, y = a.forward(np.array([-75.0]), np.array([35.0]))
         assert abs(float(x[0]) - 1885472.7) < 0.1
         assert abs(float(y[0]) - 1535925.0) < 0.1
+
+
+class TestGridShiftDatum:
+    """NTv2-style grid-shift datum (crs.GridShiftDatum): bilinear node
+    blend in NTv2 sign conventions (lat sec north, lon sec WEST), exact
+    on linear grids, fixed-point inverse, zero-shift outside coverage,
+    Catalyst path == numpy twin."""
+
+    def _grid(self):
+        nlat, nlon = 5, 6
+        lat_sec = [0.5 + 0.1 * ix + 0.2 * iy
+                   for iy in range(nlat) for ix in range(nlon)]
+        lon_w = [1.0 - 0.05 * ix + 0.1 * iy
+                 for iy in range(nlat) for ix in range(nlon)]
+        return crs.GridShiftDatum(50.0, -8.0, 1.0, 1.0, nlat, nlon,
+                                  lat_sec, lon_w)
+
+    def test_linear_grid_exact_and_round_trip(self):
+        import numpy as np
+        g = self._grid()
+        lon = np.array([-6.3, -4.25, -7.999])
+        lat = np.array([51.7, 53.9, 50.001])
+        olon, olat = g.shift_np(lon, lat, to_wgs84=True)
+        # bilinear of a linear field is exact -> analytic expectation
+        exp_lat = lat + (0.5 + 0.1 * (lon + 8) + 0.2 * (lat - 50)) / 3600
+        exp_lon = lon - (1.0 - 0.05 * (lon + 8) + 0.1 * (lat - 50)) / 3600
+        assert np.allclose(olat, exp_lat, atol=1e-12)
+        assert np.allclose(olon, exp_lon, atol=1e-12)
+        blon, blat = g.shift_np(olon, olat, to_wgs84=False)
+        assert np.allclose(blon, lon, atol=1e-10)
+        assert np.allclose(blat, lat, atol=1e-10)
+
+    def test_outside_coverage_identity(self):
+        import numpy as np
+        g = self._grid()
+        olon, olat = g.shift_np(np.array([100.0]), np.array([0.0]),
+                                to_wgs84=True)
+        assert olon[0] == 100.0 and olat[0] == 0.0
+
+    def test_hand_computed_corner_blend(self):
+        import numpy as np
+        # non-linear grid: hand-blend the 4 corners around (-7.5, 50.25)
+        vals = [float(i * i % 7) for i in range(30)]
+        g = crs.GridShiftDatum(50.0, -8.0, 1.0, 1.0, 5, 6, vals, [0.0] * 30)
+        # gx = 0.5, gy = 0.25 -> corners (0,0),(0,1),(1,0),(1,1) = idx 0,1,6,7
+        exp = (vals[0] * 0.5 * 0.75 + vals[1] * 0.5 * 0.75
+               + vals[6] * 0.5 * 0.25 + vals[7] * 0.5 * 0.25) / 3600.0
+        _, olat = g.shift_np(np.array([-7.5]), np.array([50.25]),
+                             to_wgs84=True)
+        assert abs((olat[0] - 50.25) - exp) < 1e-14
+
+    def test_catalyst_matches_numpy(self, spark):
+        import numpy as np
+        g = self._grid()
+        pts = [(-6.3, 51.7), (-4.25, 53.9), (-7.999, 50.001),
+               (-2.0, 54.0),      # on the grid edge
+               (100.0, 0.0)]      # outside coverage
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        for direction in (True, False):
+            got = (g.apply(df, "lon", "lat", "olon", "olat",
+                           to_wgs84=direction)
+                   .orderBy("lon").collect())
+            lon = np.array([p[0] for p in pts])
+            lat = np.array([p[1] for p in pts])
+            elon, elat = g.shift_np(lon, lat, to_wgs84=direction)
+            order = np.argsort(lon)
+            for r, i in zip(got, order):
+                assert abs(r.olon - elon[i]) < 1e-12
+                assert abs(r.olat - elat[i]) < 1e-12
+
+    def test_reproject_integration_round_trip(self, spark):
+        # a TM projection on a grid-shifted datum, registered + round-
+        # tripped through reproject() like BNG/OSGB36 is for Helmert
+        import numpy as np
+        g = self._grid()
+        proj = crs.TransverseMercator(crs.AIRY1830_A, crs.AIRY1830_F,
+                                      49.0, -2.0, 0.9996012717,
+                                      400000.0, -100000.0, datum=g)
+        crs.register_crs(90001, proj)
+        try:
+            df = spark.createDataFrame([(-4.0, 52.5), (-1.0, 51.0)],
+                                       "x double, y double")
+            fwd = crs.reproject(df, 4326, 90001, "x", "y", "e", "n")
+            back = crs.reproject(fwd, 90001, 4326, "e", "n", "x2", "y2")
+            for r in back.collect():
+                assert abs(r.x2 - r.x) < 1e-8
+                assert abs(r.y2 - r.y) < 1e-8
+            # numpy twin agrees with the Catalyst path
+            rows = fwd.orderBy("x").collect()
+            ex, ey = crs.transform_points_np(
+                np.array([-4.0, -1.0]), np.array([52.5, 51.0]), 4326, 90001)
+            for r, xx, yy in zip(rows, ex, ey):
+                assert abs(r.e - xx) < 1e-6
+                assert abs(r.n - yy) < 1e-6
+        finally:
+            crs.CRS_REGISTRY.pop(90001, None)

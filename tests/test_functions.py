@@ -396,3 +396,52 @@ def test_geohash_reference_golden(spark):
         "SELECT st_geoHash(st_geomFromWKT('POINT (-76.5 38.5)'), 25) AS g"
     ).collect()[0]
     assert row.g == "dqce5"
+
+
+class TestGeoHashReferenceGoldens:
+    """Literal expectation values mined from the reference's GeoHashTest
+    (geomesa-utils/src/test/.../geohash/GeoHashTest.scala:33-175) — the r3
+    lesson: property tests can't catch convention errors; goldens can."""
+
+    def test_encode_goldens(self):
+        from geomesa_spark.functions import geohash
+        assert geohash.encode(-5.6, 42.6, 25) == "ezs42"
+        assert geohash.encode(-78, 38, 25) == "dqb81"
+        assert geohash.encode(-78, 38, 27) == "dqb81h"    # sub-char bits
+        assert geohash.encode(-78, 38, 40) == "dqb81jdn"
+        assert geohash.encode(-78, 38, 63) == "dqb81jdnh32t8"
+
+    def test_decode_goldens(self):
+        from geomesa_spark.functions import geohash
+        # GeoHashTest: cell centers, exact binary midpoints
+        assert geohash.decode("ezs42") == (-5.60302734375, 42.60498046875)
+        assert geohash.decode("dqb0c") == (-78.68408203125, 38.12255859375)
+        # sub-character precision: only the first `prec` bits count
+        assert geohash.decode("dqb0cn", 27) == (-78.695068359375,
+                                                38.133544921875)
+        assert geohash.decode("dqb0cne4", 40) == (-78.70176315307617,
+                                                  38.13672065734863)
+
+    def test_bbox_golden(self):
+        from geomesa_spark.functions import geohash
+        # GeoHashTest:46 — BoundingBox(-5.625, -5.5810546875,
+        # 42.626953125, 42.5830078125) in (minX, maxX, maxY, minY) order
+        assert geohash.decode_bounds("ezs42") == (
+            -5.625, 42.5830078125, -5.5810546875, 42.626953125)
+
+    def test_grid_indices_golden(self):
+        from geomesa_spark.functions import geohash
+        # GeoHashTest:177-194 — 9q8ys0 (30 bits): lat index 23248 of 2^15,
+        # lon index 5232 of 2^15 (bit indices = offset within the dim grid)
+        xmin, ymin, xmax, ymax = geohash.decode_bounds("9q8ys0")
+        assert round((ymin + 90.0) / 180.0 * (1 << 15)) == 23248
+        assert round((xmin + 180.0) / 360.0 * (1 << 15)) == 5232
+
+    def test_sub_char_precision_sql(self, spark):
+        # st_geomFromGeoHash honors BIT precision like GeoHash(hash, prec)
+        row = spark.sql(
+            "SELECT st_asText(st_pointFromGeoHash('dqb0cn', 27)) AS p27,"
+            "       st_asText(st_pointFromGeoHash('dqb0cn', 30)) AS p30"
+        ).collect()[0]
+        assert row.p27 == "POINT (-78.695068359375 38.133544921875)"
+        assert row.p27 != row.p30

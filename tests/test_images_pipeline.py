@@ -150,3 +150,62 @@ def test_header_meta_native_parse(spark):
     base_plan = imgs._jdf.queryExecution().executedPlan().toString()
     meta_plan = meta._jdf.queryExecution().executedPlan().toString()
     assert meta_plan.count("EvalPython") == base_plan.count("EvalPython")
+
+
+class TestVideoAudioPlumbing:
+    """frame_sample / audio_features: real mapInPandas fan-out plumbing
+    over the deterministic GSV1/GSA1 containers (real codecs gated)."""
+
+    def test_video_codec_round_trip(self):
+        from geomesa_spark.sources.images import decode_image
+        from geomesa_spark.sources.media import (decode_video_frames,
+                                                 encode_video)
+        blob = encode_video(7, 5, w=8, h=6)
+        frames = decode_video_frames(blob)
+        assert len(frames) == 5
+        px = decode_image(frames[3])
+        assert px.shape == (6, 8, 3)
+        # frame 3 is independently reproducible (seed*1000 + idx)
+        from geomesa_spark.sources.images import encode_image
+        assert frames[3] == encode_image(7003, 8, 6, "png")
+
+    def test_foreign_video_gated(self):
+        import pytest as _pytest
+        from geomesa_spark.sources.media import decode_video_frames
+        with _pytest.raises(NotImplementedError, match="ffmpeg"):
+            decode_video_frames(b"\x00\x00\x00\x20ftypmp42")
+
+    def test_frame_sample_fanout(self, spark):
+        from geomesa_spark.operators.multimodal import frame_sample
+        from geomesa_spark.sources.media import synthetic_videos
+        vids = synthetic_videos(spark, 20)
+        out = frame_sample(vids, every_n=3)
+        assert out.columns == ["video_id", "frame_idx", "frame_bytes"]
+        got = {(r.video_id, r.frame_idx) for r in out.collect()}
+        want = set()
+        for r in vids.select("video_id", "n_frames").collect():
+            for i in range(0, r.n_frames, 3):
+                want.add((r.video_id, i))
+        assert got == want
+        # each sampled frame is a decodable image blob
+        from geomesa_spark.sources.images import decode_image
+        one = out.where("video_id = 1 AND frame_idx = 0").collect()[0]
+        assert decode_image(bytes(one.frame_bytes)).ndim == 3
+
+    def test_audio_features_match_numpy(self, spark):
+        import numpy as np
+        from geomesa_spark.operators.multimodal import audio_features
+        from geomesa_spark.sources.media import (decode_audio,
+                                                 synthetic_audio)
+        aud = synthetic_audio(spark, 10)
+        rows = {r.audio_id: r for r in audio_features(aud).collect()}
+        assert len(rows) == 10
+        for r in aud.collect():
+            rate, x = decode_audio(bytes(r.bytes))
+            got = rows[r.audio_id]
+            assert got.sample_rate == rate
+            assert got.n_samples == len(x)
+            assert got.duration_ms == len(x) * 1000 // rate
+            assert got.rms_milli == int(float(np.sqrt(np.mean(x * x))) * 1000)
+            zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            assert got.zero_crossings == zc
