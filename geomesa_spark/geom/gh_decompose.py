@@ -500,6 +500,170 @@ def decompose_hashes(geom, max_size: int = 100,
                                            relax_fit)]
 
 
+# ---------------------------------------------------------------------------
+# unique geohash substrings (GeohashUtils.getUniqueGeohashSubstringsInPolygon
+# :494-646) — the planner primitive behind "%offset,length#gh" index-schema
+# key enumeration
+# ---------------------------------------------------------------------------
+
+def _covers(geom, bounds) -> bool:
+    """JTS ``polygon.covers(rect)``: all rect corners inside-or-on the
+    polygon AND no polygon-boundary edge passing through the rect's open
+    interior (an edge along the rect boundary is fine)."""
+    xmin, ymin, xmax, ymax = bounds
+    for cx, cy in ((xmin, ymin), (xmin, ymax), (xmax, ymax), (xmax, ymin)):
+        if not _point_in_poly(cx, cy, geom):
+            return False
+    for ring, _ in _poly_rings(geom):
+        for i in range(len(ring) - 1):
+            p = (float(ring[i][0]), float(ring[i][1]))
+            q = (float(ring[i + 1][0]), float(ring[i + 1][1]))
+            t = _clip_segment(p, q, bounds)
+            if t is None or t[0] == t[1]:
+                continue
+            tm = (t[0] + t[1]) / 2.0
+            mx, my = p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1])
+            if xmin < mx < xmax and ymin < my < ymax:
+                return False
+    return True
+
+
+def _promote_to_region(geom):
+    """promoteToRegion: degenerate geometries become a tiny disc around
+    their centroid (JTS buffer(1e-6) approximated by a 16-gon); proper
+    polygons pass through; everything else becomes its envelope."""
+    def disc(x, y, r=1e-6, n=16):
+        pts = [(x + r * math.cos(2 * math.pi * i / n),
+                y + r * math.sin(2 * math.pi * i / n)) for i in range(n)]
+        return model.Polygon(pts + pts[:1])
+
+    if isinstance(geom, model.Point):
+        return disc(geom.x, geom.y)
+    if isinstance(geom, model.Polygon):
+        if _poly_area(geom) > 0.0:
+            return geom
+        cx, cy = _centroid(geom)
+        return disc(cx, cy)
+    c = geom._all_coords()
+    xmin, ymin = float(c[:, 0].min()), float(c[:, 1].min())
+    xmax, ymax = float(c[:, 0].max()), float(c[:, 1].max())
+    if (xmax - xmin) * (ymax - ymin) > 0.0:
+        return model.box(xmin, ymin, xmax, ymax)
+    cx, cy = _centroid(geom)
+    return disc(cx, cy)
+
+
+def unique_geohash_substrings(geom, offset: int, length: int,
+                              max_keys_in_list: int = (1 << 31) - 2,
+                              include_dots: bool = True) -> list[str]:
+    """getUniqueGeohashSubstringsInPolygon parity: the distinct
+    ``length``-character substrings (after skipping ``offset`` characters)
+    of all 35-bit geohashes intersecting ``geom`` — enumerated WITHOUT
+    visiting every fine cell, by keeping covered prefixes coarse (a
+    covered 13-bit prefix entails all of its children) and stopping
+    entirely once a prefix of <= 5*offset bits is covered (every substring
+    combination is then present).  With ``include_dots``, the result is
+    the reference's dotting expansion (every distinct prefix of every
+    substring, dot-padded) REPLACING the plain list — matching decomposed
+    geohashes stored below full precision.  Raises ValueError on overflow
+    (the reference's Failure)."""
+    if isinstance(geom, str):
+        geom = wkt_loads(geom)
+    cover = _promote_to_region(geom)
+    max_bits = (offset + length) * 5
+    min_bits = offset * 5
+    used_bits = length * 5
+    hi = min(35, max_bits)
+    max_keys = min(2 << min(used_bits, 29), max_keys_in_list)
+    cx, cy = _centroid(cover)
+
+    mbr_bits, mbr_prec = _mbr_cell(geom, (0, hi, 1))
+
+    def bitstr(bits, prec):
+        return format(bits, f"0{prec}b") if prec else ""
+
+    def consider(bits, prec):
+        bounds = cell_bounds(bits, prec)
+        if not _poly_intersects(geom, bounds):
+            return []
+        if _covers(cover, bounds) or prec == max_bits:
+            return [bitstr(bits, prec)]
+        if prec >= max_bits:
+            return []
+        b0, b1 = (bits << 1, prec + 1), ((bits << 1) | 1, prec + 1)
+        def dist(cell):
+            x0, y0, x1, y1 = cell_bounds(*cell)
+            return math.hypot((x0 + x1) / 2 - cx, (y0 + y1) / 2 - cy)
+        first, second = (b0, b1) if dist(b0) <= dist(b1) else (b1, b0)
+        out = consider(*first)
+        if out and len(out[0]) <= min_bits:
+            return out
+        return out + consider(*second)
+
+    if mbr_prec <= max_bits:
+        prefixes = consider(mbr_bits, mbr_prec)
+    else:
+        prefixes = [bitstr(mbr_bits, mbr_prec)[min_bits:min_bits + used_bits]]
+
+    has_everything = any(len(p) <= min_bits for p in prefixes)
+    if has_everything:
+        entailed = max_keys
+    else:
+        entailed = min(1 << used_bits,
+                       sum(1 << min(used_bits, max_bits - len(p))
+                           for p in prefixes))
+    uses_all = has_everything or entailed == max_keys
+    overflowed = ((1 << used_bits) > max_keys) if uses_all \
+        else entailed > max_keys
+    if overflowed:
+        raise ValueError("bit prefixes overflowed enumerating unique "
+                         f"geohash substrings (offset={offset}, "
+                         f"length={length})")
+
+    def generate_all(prefix: str) -> list[str]:
+        # prefix length is a whole number of characters here
+        h = cell_hash(int(prefix, 2), len(prefix)) if prefix else ""
+        if len(h) < length:
+            import itertools
+            pads = itertools.product(_BASE32, repeat=length - len(h))
+            return [h + "".join(p) for p in pads]
+        return [h]
+
+    if uses_all:
+        undotted = generate_all("")
+    else:
+        acc = set()
+        for prefix in prefixes:
+            to_boundary = (65 - len(prefix)) % 5
+            if to_boundary:
+                import itertools
+                bases = [prefix + "".join(b)
+                         for b in itertools.product("01", repeat=to_boundary)]
+            else:
+                bases = [prefix]
+            for base in bases:
+                acc.update(generate_all(base[min_bits:]))
+        undotted = sorted(acc)
+
+    if not include_dots:
+        return undotted
+    if len(undotted) >= max_keys:
+        return []
+    # dotting expansion: all distinct i-prefixes, dot-padded, i = 0..length
+    keepers, n = [], 0
+    for i in range(length + 1):
+        seen = set()
+        for h in undotted:
+            p = h[:i]
+            if p not in seen:
+                seen.add(p)
+                keepers.append(p + "." * (length - i))
+                n += 1
+                if n > max_keys_in_list:
+                    return []
+    return keepers
+
+
 def cover_predicate(col, cells: list[tuple[int, int]]):
     """Catalyst predicate matching a geohash-STRING column against a
     decomposition: per cell, a prefix match on the whole characters plus a

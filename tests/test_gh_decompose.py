@@ -93,3 +93,30 @@ def test_cover_predicate_selects_exactly_cell_members(spark):
                        for bx0, by0, bx1, by1 in bounds)}
     assert interior <= got <= want
     assert len(got) > 100
+
+
+SUBSTRING_GOLDENS = [((0, 2), 3), ((2, 3), 9), ((0, 3), 4),
+                     ((3, 2), 8), ((0, 6), 83), ((0, 7), 1762)]
+
+
+@pytest.mark.parametrize("params,want", SUBSTRING_GOLDENS)
+def test_unique_substring_reference_goldens(params, want):
+    """GeohashUtilsTest 'getUniqueGeohashSubstringsInPolygon' expectations
+    (all six (offset, length) cases over the Charlottesville polygon)."""
+    from geomesa_spark.geom.gh_decompose import unique_geohash_substrings
+    wkt = GOLDENS["[POLYGON] Charlottesville"]["wkt"]
+    got = unique_geohash_substrings(wkt, *params)
+    assert len(got) == want
+
+
+def test_unique_substrings_undotted_are_prefix_consistent():
+    from geomesa_spark.geom.gh_decompose import unique_geohash_substrings
+    wkt = GOLDENS["[POLYGON] Charlottesville"]["wkt"]
+    dotted = unique_geohash_substrings(wkt, 0, 3)
+    undotted = unique_geohash_substrings(wkt, 0, 3, include_dots=False)
+    # every dotted entry is a dot-padded prefix of some undotted hash
+    for d in dotted:
+        stem = d.rstrip(".")
+        assert any(h.startswith(stem) for h in undotted), d
+    # the full-length entries of the dotted set ARE the undotted set
+    assert sorted(d for d in dotted if "." not in d) == sorted(undotted)
