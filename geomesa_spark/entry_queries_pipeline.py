@@ -455,17 +455,23 @@ Q_IVF_ANN_SQL = Q_ANN_BRUTE_SQL
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two dedup operators, one tagged driver row.  'pair' rows: SimHash
+    """Three dedup operators, one tagged driver row.  'pair' rows: SimHash
     near-dup pairs — byte-band pigeonhole candidates + exact
     bit_count(xor) verify, hamming <= 3, over the materialized write-time
     (id, simhash) signature table.  'keep' rows: the greedy dedup sweep
     built on those pairs (dedup_keep_canonical's keep-lowest-id left-anti
     join — the standard web-corpus policy), surviving doc id in id_a with
-    -1 sentinels for the pair-only columns."""
+    -1 sentinels for the pair-only columns.  'cc' rows: duplicate CLUSTERS
+    — connected components of the pair graph via alternating large-star /
+    small-star (dedup.connected_components), doc id in id_a, component-min
+    cluster id in id_b; the oracle recomputes the closure with a DuckDB
+    recursive CTE."""
     corpus = docsrc.corpus(spark, sf_dir)
     pairs = dedup.simhash_pairs(corpus, max_hamming=3,
                                 sig_path=cache_path("simhash_sigs", sf_dir))
+    pairs = pairs.persist()   # feeds the sweep AND the component loop
     keep = dedup.dedup_keep_canonical(corpus, pairs).select("doc_id")
+    cc = dedup.connected_components(pairs)
     neg1 = F.lit(-1).cast("long")
     return (pairs.select(F.lit("pair").alias("stage"),
                          F.col("id_a").cast("long").alias("id_a"),
@@ -474,7 +480,12 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(keep.select(
                 F.lit("keep").alias("stage"),
                 F.col("doc_id").cast("long").alias("id_a"),
-                neg1.alias("id_b"), neg1.alias("hamming"))))
+                neg1.alias("id_b"), neg1.alias("hamming")))
+            .unionByName(cc.select(
+                F.lit("cc").alias("stage"),
+                F.col("node_id").cast("long").alias("id_a"),
+                F.col("cluster_id").cast("long").alias("id_b"),
+                neg1.alias("hamming"))))
 
 
 _Q_SIMHASH_PAIRS_SQL = f"""
@@ -515,15 +526,35 @@ FROM cand WHERE hamming <= 3
 
 _SIMHASH_PAIRS_BODY = _Q_SIMHASH_PAIRS_SQL.split("SELECT id_a", 1)[0]
 
+_SIMHASH_PAIRS_BODY_REC = _SIMHASH_PAIRS_BODY.replace(
+    "WITH corpus", "WITH RECURSIVE corpus", 1)
+
 Q_SIMHASH_DEDUP_SQL = f"""
-{_SIMHASH_PAIRS_BODY}
+{_SIMHASH_PAIRS_BODY_REC},
+good AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+-- undirected near-dup edge list for the component closure
+sym AS (SELECT id_a AS u, id_b AS v FROM good
+        UNION SELECT id_b, id_a FROM good),
+-- transitive closure: every node paired with every id reachable from it
+-- (components are near-dup clusters — small — so the closure is bounded)
+reach(u, w) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT u, u FROM sym
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN sym e ON e.u = r.w
+)
 SELECT 'pair' AS stage, id_a, id_b, CAST(hamming AS BIGINT) AS hamming
 FROM cand WHERE hamming <= 3
 UNION ALL
 SELECT 'keep' AS stage, c.doc_id AS id_a,
        CAST(-1 AS BIGINT) AS id_b, CAST(-1 AS BIGINT) AS hamming
 FROM corpus c
-WHERE c.doc_id NOT IN (SELECT id_b FROM cand WHERE hamming <= 3)
+WHERE c.doc_id NOT IN (SELECT id_b FROM good)
+UNION ALL
+SELECT 'cc' AS stage, u AS id_a, min(w) AS id_b,
+       CAST(-1 AS BIGINT) AS hamming
+FROM reach GROUP BY u
 """
 
 

@@ -289,3 +289,84 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     """
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Duplicate-cluster assembly: connected components of the near-dup
+    pair graph -> ``(node_id, cluster_id)`` with cluster_id = the
+    component's minimum node id.
+
+    The canonical step AFTER pair generation in a corpus-dedup pipeline
+    (MinHash/SimHash pairs only relate documents two at a time; policy
+    decisions — keep one per cluster, canonicalize captions, merge
+    lineage — need the transitive closure).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    is one groupBy (per-node min neighbor) + one equi-join, converging in
+    O(log^2 n) rounds on any graph shape, independent of component
+    diameter (plain min-label propagation needs O(diameter) rounds — a
+    chain of near-dups degenerates).  No collect_list: a hub node of
+    degree millions costs a groupBy min, never a wide row.  Each round's
+    edge set is localCheckpoint-ed (lineage TRUNCATED, not just cached —
+    persist alone leaves the logical plan doubling per round and Catalyst
+    re-analysis goes exponential; a long-running cluster job would point
+    spark.checkpoint.dir at reliable storage and use checkpoint() for
+    executor-loss tolerance) and materialized by the convergence probe
+    (count + order-insensitive modular hash sum — two driver scalars per
+    round).
+
+    Only nodes that appear in ``pairs`` are labeled; singleton documents
+    are their own cluster by definition and can be appended by the caller
+    with a left-anti join if a total labeling is needed.
+    """
+    e0 = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                       F.col(id_b).cast("long").alias("v"))
+          .where("u IS NOT NULL AND v IS NOT NULL AND u <> v"))
+    # orient u > v (parent-pointer form); both star ops preserve it
+    edges = (e0.select(F.greatest("u", "v").alias("u"),
+                       F.least("u", "v").alias("v")).distinct()
+             .localCheckpoint())
+    prev_chk = None
+    for _ in range(max_iters):
+        chk = edges.agg(
+            F.count("*").alias("n"),
+            # modular sum: a raw sum of 64-bit hashes overflows ANSI long
+            F.sum(F.pmod(F.xxhash64("u", "v"),
+                         F.lit(1_000_000_007))).alias("h")).first()
+        if prev_chk == (chk["n"], chk["h"]):
+            break
+        prev_chk = (chk["n"], chk["h"])
+        # large-star: link every neighbor LARGER than u to u's min
+        # (symmetrize first: large-star is defined on the undirected graph)
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("u", "mn").alias("m")))
+        large = (sym.join(mins, "u").where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .where("u <> v").distinct())
+        # small-star: relink every smaller neighbor (and u) to the min of
+        # u's smaller neighborhood; edges are already u > v oriented
+        smins = (large.groupBy("u").agg(F.min("v").alias("m")))
+        small = (large.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .union(smins.select("u", F.col("m").alias("v")))
+                 .where("u <> v")
+                 .select(F.greatest("u", "v").alias("u"),
+                         F.least("u", "v").alias("v"))
+                 .distinct())
+        edges = small.localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds")
+    # at fixpoint every edge is (node -> component root); roots label
+    # themselves
+    labels = (edges.select(F.col("u").alias("node_id"),
+                           F.col("v").alias("cluster_id"))
+              .union(edges.select(F.col("v").alias("node_id"),
+                                  F.col("v").alias("cluster_id")))
+              .distinct())
+    return labels

@@ -260,3 +260,56 @@ def test_band_index_roundtrip_and_two_sided_bits(spark, sf_dir, tmp_path):
     # duplicate pairs must appear even when bits is auto-resolved
     auto = ann.lsh_topk(embs, embs.where("vec_id < 5"), k=5, bits=None)
     assert auto.count() > 0
+
+
+def _uf_components(edges):
+    """Reference union-find closure for connected_components tests."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.connected_components(df).collect()
+    labels = {r["node_id"]: r["cluster_id"] for r in got}
+    assert len(labels) == len(got), "duplicate node labels"
+    return labels
+
+
+def test_connected_components_chain(spark):
+    # a 64-node chain: the adversarial case for plain min-label
+    # propagation (O(diameter) rounds); large-star/small-star must
+    # converge within the iteration guard and label everything 0
+    edges = [(i, i + 1) for i in range(63)]
+    labels = _cc_spark(spark, edges)
+    assert labels == {i: 0 for i in range(64)}
+
+
+def test_connected_components_multiple_and_orientation(spark):
+    # mixed edge orientation + self-loop noise + two components
+    edges = [(5, 3), (3, 9), (20, 21), (21, 20), (7, 7)]
+    labels = _cc_spark(spark, edges)
+    assert labels == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_connected_components_random_matches_union_find(spark):
+    import random
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = _uf_components(edges)
+    got = _cc_spark(spark, edges)
+    assert got == want
