@@ -21,6 +21,10 @@ D = pt.DUCK
 # shared oracle CTEs -------------------------------------------------------
 
 CORPUS = f"WITH corpus AS ({docsrc.corpus_sql(D)})"
+
+# pair-table cache pinned by the previous q_simhash_dedup call (released by
+# the next call — bounded at one across a many-query session)
+_PAIRS_CACHE: list = []
 VECS = f"WITH vecs AS ({docsrc.vectors_sql(D)})"
 
 # tokens -> token hashes -> distinct shingles, as chained CTEs
@@ -159,73 +163,17 @@ FROM votes GROUP BY doc_id
 # text analysis
 # --------------------------------------------------------------------------
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.text_quality(docsrc.corpus(spark, sf_dir))
-
-
 _SW = ", ".join(f"'{w}'" for w in text.STOPWORDS)
-
-Q_TEXT_QUALITY_SQL = f"""
-{CORPUS},
-m AS (
-  SELECT doc_id, text,
-         {pt.tokens('text', D)} AS tokens,
-         length(replace(replace(text, ' ', ''), ',', '')) AS n_alpha,
-         length(text) - length(replace(text, ',', '')) AS n_punct
-  FROM corpus
-),
-mm AS (
-  SELECT doc_id, text, n_alpha, n_punct, len(tokens) AS n_tok,
-         len(list_filter(tokens, t -> list_contains([{_SW}], t))) AS n_stop
-  FROM m
-)
-SELECT doc_id, n_tok,
-       CAST(floor(n_alpha * 1000.0e0 / n_tok) AS BIGINT) AS mean_tok_len_milli,
-       CAST(floor(n_stop * 1e6 / n_tok) AS BIGINT) AS stop_ppm,
-       CAST(floor(n_punct * 1e6 / length(text)) AS BIGINT) AS punct_ppm,
-       CAST(floor(least(n_tok, 100) * 10000.0e0 / 100.0e0
-                  + floor(n_stop * 1e6 / n_tok) / 2.0e0
-                  - floor(n_punct * 1e6 / length(text)) / 4.0e0) AS BIGINT)
-         AS quality_ppm
-FROM mm
-"""
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_counts(docsrc.corpus(spark, sf_dir))
-
-
-Q_TOKEN_COUNT_SQL = f"""
-{CORPUS}
-SELECT doc_id,
-       len({pt.tokens('text', D)}) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z]{{1,4}}')) AS bpe_tokens
-FROM corpus
-"""
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(docsrc.corpus(spark, sf_dir))
-
-
-Q_FINGERPRINT_SQL = f"""
-{CORPUS}
-SELECT doc_id, {pt.char_fold('text', D)} AS fp FROM corpus
-"""
 
 
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis operators consolidated into one per-doc projection —
-    quality scoring + token counting + rolling-hash fingerprint (each a
-    pure-Catalyst map over the same corpus scan; one driver-gate row
-    covers all three so planner-path queries aren't crowded out of the
-    recorded window).  LangID stays separate (different algorithm
-    family)."""
-    corpus = docsrc.corpus(spark, sf_dir)
-    q = text.text_quality(corpus)
-    t = text.token_counts(corpus)
-    f = text.fingerprint(corpus)
-    return q.join(t, "doc_id").join(f, "doc_id")
+    quality scoring + token counting + rolling-hash fingerprint computed
+    in a SINGLE corpus scan (text.text_features: one Project, no joins;
+    one driver-gate row covers all three so planner-path queries aren't
+    crowded out of the recorded window).  LangID stays separate
+    (different algorithm family)."""
+    return text.text_features(docsrc.corpus(spark, sf_dir))
 
 
 Q_TEXT_FEATURES_SQL = f"""
@@ -469,7 +417,16 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docsrc.corpus(spark, sf_dir)
     pairs = dedup.simhash_pairs(corpus, max_hamming=3,
                                 sig_path=cache_path("simhash_sigs", sf_dir))
-    pairs = pairs.persist()   # feeds the sweep AND the component loop
+    # feeds the sweep AND the component loop; release the previous call's
+    # pin so repeated executions in one session don't accumulate caches
+    for old in _PAIRS_CACHE:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PAIRS_CACHE.clear()
+    pairs = pairs.persist()
+    _PAIRS_CACHE.append(pairs)
     keep = dedup.dedup_keep_canonical(corpus, pairs).select("doc_id")
     cc = dedup.connected_components(pairs)
     neg1 = F.lit(-1).cast("long")

@@ -577,14 +577,17 @@ def unique_geohash_substrings(geom, offset: int, length: int,
     max_keys = min(2 << min(used_bits, 29), max_keys_in_list)
     cx, cy = _centroid(cover)
 
-    mbr_bits, mbr_prec = _mbr_cell(geom, (0, hi, 1))
+    # all geometry tests run against the PROMOTED region: points/lines/
+    # zero-area inputs become discs/envelopes (the ring-based intersection
+    # kernel assumes areal geometry — the raw geom would crash on Point)
+    mbr_bits, mbr_prec = _mbr_cell(cover, (0, hi, 1))
 
     def bitstr(bits, prec):
         return format(bits, f"0{prec}b") if prec else ""
 
     def consider(bits, prec):
         bounds = cell_bounds(bits, prec)
-        if not _poly_intersects(geom, bounds):
+        if not _poly_intersects(cover, bounds):
             return []
         if _covers(cover, bounds) or prec == max_bits:
             return [bitstr(bits, prec)]

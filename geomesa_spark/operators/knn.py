@@ -144,6 +144,10 @@ def knn_join(points: DataFrame, query_points: list[tuple], k: int, *,
     counting job.
     """
     spark = points.sparkSession
+    if max_iterations < 1:
+        # the fused expansion loop materializes its result template inside
+        # the first iteration — zero iterations has no meaningful answer
+        raise ValueError("knn_join requires max_iterations >= 1")
     if res is None:
         res = _pick_res(n_rows if n_rows is not None else points.count(), k)
     return _knn_inner(spark, points, query_points, k, lon_col, lat_col, res,

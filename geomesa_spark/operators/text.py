@@ -22,6 +22,43 @@ from geomesa_spark.functions import portable as pt
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def _feature_cols(text_col: str) -> dict:
+    """All per-doc text-feature Columns, keyed by output name — the single
+    source of truth for text_quality / token_counts / fingerprint AND the
+    one-scan text_features composition (repeated subexpressions collapse
+    under codegen common-subexpression elimination; ratios floor-scaled to
+    integers so the DuckDB oracle matches bit-for-bit)."""
+    d = pt.SPARK
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = pt.tokens(text_col, d)
+    n_tok = F.expr(f"size({toks})")
+    n_alpha = F.expr(f"length(replace(replace({text_col}, ' ', ''), ',', ''))")
+    n_stop = F.expr(f"size(filter({toks}, t -> array_contains(array({sw}), t)))")
+    n_punct = (F.length(text_col)
+               - F.expr(f"length(replace({text_col}, ',', ''))"))
+    stop_ppm = F.floor(n_stop * 1e6 / n_tok)
+    punct_ppm = F.floor(n_punct * 1e6 / F.length(text_col))
+    return {
+        "n_tok": n_tok,
+        "mean_tok_len_milli": F.floor(n_alpha * 1000.0 / n_tok).cast("long"),
+        "stop_ppm": stop_ppm.cast("long"),
+        "punct_ppm": punct_ppm.cast("long"),
+        # composite: reward stopword presence, penalize punctuation,
+        # saturate length at 100 tokens — floor before cast (DuckDB
+        # CAST(double AS bigint) rounds; Spark truncates)
+        "quality_ppm": F.floor(F.least(n_tok, F.lit(100)) * 10000.0 / 100.0
+                               + stop_ppm / 2.0
+                               - punct_ppm / 4.0).cast("long"),
+        "ws_tokens": F.expr(f"size({toks})"),
+        "bpe_tokens": F.expr(f"regexp_count({text_col}, '[a-z]{{1,4}}')"),
+        "fp": F.expr(pt.char_fold(text_col, pt.SPARK)),
+    }
+
+
+_QUALITY_KEYS = ("n_tok", "mean_tok_len_milli", "stop_ppm", "punct_ppm",
+                 "quality_ppm")
+
+
 def text_quality(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Per-doc quality metrics: token count, mean token length (milli),
@@ -30,49 +67,32 @@ def text_quality(df: DataFrame, id_col: str = "doc_id",
     Heuristics follow standard training-data quality filters (length,
     stopword density, punctuation density).
     """
-    d = pt.SPARK
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    return (df
-            .withColumn("tokens", F.expr(pt.tokens(text_col, d)))
-            .withColumn("n_tok", F.size("tokens"))
-            .withColumn("n_alpha", F.length(
-                F.expr(f"replace(replace({text_col}, ' ', ''), ',', '')")))
-            .withColumn("n_stop", F.expr(
-                f"size(filter(tokens, t -> array_contains(array({sw}), t)))"))
-            .withColumn("n_punct",
-                        F.length(text_col)
-                        - F.length(F.expr(f"replace({text_col}, ',', '')")))
-            .select(
-                id_col,
-                "n_tok",
-                F.floor(F.col("n_alpha") * 1000.0 / F.col("n_tok"))
-                 .cast("long").alias("mean_tok_len_milli"),
-                F.floor(F.col("n_stop") * 1e6 / F.col("n_tok"))
-                 .cast("long").alias("stop_ppm"),
-                F.floor(F.col("n_punct") * 1e6 / F.length(text_col))
-                 .cast("long").alias("punct_ppm"),
-                # composite: reward stopword presence, penalize punctuation,
-                # saturate length at 100 tokens — floor before cast (DuckDB
-                # CAST(double AS bigint) rounds; Spark truncates)
-                F.floor(F.least(F.col("n_tok"), F.lit(100)) * 10000.0 / 100.0
-                        + F.floor(F.col("n_stop") * 1e6 / F.col("n_tok")) / 2.0
-                        - F.floor(F.col("n_punct") * 1e6 / F.length(text_col)) / 4.0)
-                .cast("long").alias("quality_ppm")))
+    cols = _feature_cols(text_col)
+    return df.select(id_col, *(cols[k].alias(k) for k in _QUALITY_KEYS))
 
 
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword count (<=4-char greedy chunks)."""
-    return (df
-            .withColumn("ws_tokens", F.size(F.expr(pt.tokens(text_col, pt.SPARK))))
-            .withColumn("bpe_tokens", F.expr(f"regexp_count({text_col}, '[a-z]{{1,4}}')"))
-            .select(id_col, "ws_tokens", "bpe_tokens"))
+    cols = _feature_cols(text_col)
+    return df.select(id_col, cols["ws_tokens"].alias("ws_tokens"),
+                     cols["bpe_tokens"].alias("bpe_tokens"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Rolling polynomial hash of the full text -> bigint (content fingerprint)."""
-    return df.select(id_col, F.expr(pt.char_fold(text_col, pt.SPARK)).alias("fp"))
+    return df.select(id_col, _feature_cols(text_col)["fp"].alias("fp"))
+
+
+def text_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Quality + token counts + fingerprint in ONE corpus scan (a single
+    Project — no joins, no re-scan; the former three-way doc_id join
+    planned three scans plus two shuffles for row-wise math)."""
+    cols = _feature_cols(text_col)
+    order = _QUALITY_KEYS + ("ws_tokens", "bpe_tokens", "fp")
+    return df.select(id_col, *(cols[k].alias(k) for k in order))
 
 
 def _bigram_rows(docs: DataFrame, id_col: str, text_col: str,

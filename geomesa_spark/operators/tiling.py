@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# finest-level caches pinned by prior tile_pyramid calls; the next call
+# releases them so a long-lived many-query session never accumulates
+_PYRAMID_CACHE_REGISTRY: list[DataFrame] = []
+
 
 def density(df: DataFrame, envelope: tuple, width: int, height: int, *,
             lon_col: str = "lon", lat_col: str = "lat",
@@ -74,7 +78,11 @@ def tile_pyramid(df: DataFrame, zooms: list[int], *, tile_px: int = 256,
     already reduced (unique finest pixels), far below the input, and
     spills gracefully at cluster scale.  It is exposed on the result as
     ``_persisted_levels`` so a long-lived session can ``unpersist()``
-    after consuming the result.
+    after consuming the result; in addition, each tile_pyramid call
+    unpersists the levels pinned by PREVIOUS calls (module-level registry)
+    — unpersist only costs recompute-if-reread, never correctness — so a
+    many-query session holds at most one pyramid's cache instead of
+    leaking one per invocation.
     """
     from pyspark import StorageLevel
     lon, lat = F.col(lon_col), F.col(lat_col)
@@ -96,8 +104,17 @@ def tile_pyramid(df: DataFrame, zooms: list[int], *, tile_px: int = 256,
            .agg(F.sum("__w").alias("weight"), F.count("*").alias("cnt")))
     persisted = []
     if cache_levels and len(zs) > 1:
+        # release caches pinned by earlier pyramids first (presumed consumed
+        # by now); a still-live old result just recomputes if re-read
+        for old in _PYRAMID_CACHE_REGISTRY:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _PYRAMID_CACHE_REGISTRY.clear()
         lvl = lvl.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(lvl)
+        _PYRAMID_CACHE_REGISTRY.append(lvl)
 
     # decode a (zoom, packed-key) pair; `div` = exact integer division
     # (double `/` rounds past 2^53); npx is a per-row expression of zoom

@@ -20,9 +20,18 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None) -> SparkSession.Builder:
-    """Apply engine confs to an existing builder (composable with user confs)."""
+def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = None,
+              driver_mem: str | None = None) -> SparkSession.Builder:
+    """Apply engine confs to an existing builder (composable with user confs).
+
+    Driver memory: pass ``driver_mem`` (or set ``SPARK_GRAFT_DRIVER_MEM``)
+    rather than a separate ``spark.driver.memory`` conf — the heap size and
+    the ``-Xms``/pre-touch java options are derived from the SAME value here,
+    and overriding only the conf would leave ``-Xms`` larger than ``-Xmx``
+    (the JVM refuses to start).
+    """
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(sp))
@@ -45,7 +54,7 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         # throughput collector for a batch-analytics engine: ParallelGC
         # beats G1 by 20-35% on the shuffle-agg pipeline (measured
         # 45-62s -> 29-53s at local[32]/48g on the 64M-row scaling job; G1
@@ -63,8 +72,7 @@ def configure(builder: SparkSession.Builder, shuffle_partitions: int | None = No
         # in one long-lived session, worst on trig-heavy projections.
         .config("spark.driver.defaultJavaOptions",
                 "-XX:+UseParallelGC -XX:+AlwaysPreTouch "
-                "-XX:ReservedCodeCacheSize=512m -Xms"
-                + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                "-XX:ReservedCodeCacheSize=512m -Xms" + mem)
         .config("spark.executor.defaultJavaOptions",
                 "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m")
     )

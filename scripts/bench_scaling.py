@@ -228,11 +228,12 @@ def main() -> None:
     # (the r2 protocol calibrated once per level; hour-scale host drift
     # between the two levels then leaked into the ratio)
     import statistics
-    prev_raw = None
+    prev_raw, prev_raw_rep = None, None
     if args.from_json:
         with open("BENCH/scaling.json") as f:
             prev = json.load(f)
         pairs, prev_raw = prev["pairs"], prev.get("raw")
+        prev_raw_rep = prev.get("raw_rep")
         args.rows, args.n = prev["rows"], prev["n_cores"]
         args.reps = len(pairs)
     pairs = pairs if args.from_json else []
@@ -319,7 +320,13 @@ def main() -> None:
         "median_normalized_efficiency_pipeline": round(med_norm, 3),
         "calib_sec": best["calib_sec"],
         "pairs": [{k: v for k, v in p.items() if k != "raw"} for p in pairs],
-        "raw": (best["raw"] if "raw" in best else prev_raw) or {},
+        # the per-run block must come from the SAME pair as the headline:
+        # in --from-json mode the recorded raw belongs to the ORIGINAL best
+        # pair, so keep it only when re-selection lands on that pair again
+        "raw_rep": best["rep"],
+        "raw": (best["raw"] if "raw" in best
+                else (prev_raw if prev_raw_rep == best["rep"] else None))
+               or {},
     }
     print(json.dumps(report))
 
