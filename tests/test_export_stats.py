@@ -93,3 +93,65 @@ def test_approx_percentile_matches_exact_order(events):
     assert qs[0] <= qs[1] <= qs[2]
     lo, hi = events.agg(F.min("value"), F.max("value")).collect()[0]
     assert lo <= qs[0] and qs[2] <= hi
+
+
+# -- sketch merge associativity ---------------------------------------------
+# The reference's stats suite (geomesa-utils-parent .../stats/*Test, e.g.
+# MinMaxTest/CountStatTest "merge" cases and StatsBasedEstimatorTest)
+# asserts that per-split sketches combined with Stat.+ equal the sketch of
+# the whole dataset, and that sketches survive serialization.  The Spark
+# analog: aggregation results must be invariant to partitioning (partial
+# aggs merge associatively on executors), and a materialized per-partition
+# sketch column unioned with hll_union_agg must estimate the same value as
+# the one-shot global sketch.
+
+class TestStatMergeAssociativity:
+    def test_hll_invariant_to_partitioning(self, events):
+        outs = [
+            df.agg(F.approx_count_distinct("user_id", rsd=0.02).alias("a"))
+              .collect()[0].a
+            for df in (events.coalesce(1),
+                       events.repartition(7, "event_type"),
+                       events.repartition(29))
+        ]
+        # HLL++ register merge is associative/commutative: identical, not
+        # merely close, across any partitioning of the same rows
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_hll_sketch_union_equals_global(self, events):
+        # per-partition-key sketches (serialized binary column), merged with
+        # hll_union_agg == the global single-pass sketch estimate
+        per_key = (events.groupBy("event_type")
+                   .agg(F.hll_sketch_agg("user_id").alias("sk")))
+        merged = per_key.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+        ).collect()[0].n
+        direct = events.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+        ).collect()[0].n
+        assert merged == direct
+
+    def test_hll_sketch_binary_round_trip(self, events, tmp_path):
+        # serialization round-trip: sketch binaries written to parquet and
+        # read back merge to the same estimate
+        per_key = (events.groupBy("event_type")
+                   .agg(F.hll_sketch_agg("user_id").alias("sk")))
+        p = str(tmp_path / "sk.parquet")
+        per_key.write.parquet(p)
+        rt = events.sparkSession.read.parquet(p).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+        ).collect()[0].n
+        want = per_key.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n")
+        ).collect()[0].n
+        assert rt == want
+
+    def test_percentile_approx_invariant_to_partitioning(self, events):
+        expr = F.expr(
+            "percentile_approx(value, array(0.25e0, 0.5e0, 0.75e0), 10000)")
+        a = events.coalesce(1).agg(expr.alias("q")).collect()[0].q
+        b = events.repartition(13).agg(expr.alias("q")).collect()[0].q
+        # KLL/GK-style quantile merge keeps the answer within the sketch's
+        # rank-error bound; with accuracy 10000 over sf-scale inputs the
+        # quartiles coincide exactly on this data
+        assert a == b
