@@ -301,3 +301,63 @@ class TestBucketedJoin:
         fa, _, facts, _ = bucketed_pair
         got = fa.where("k = 17").count()
         assert got == int((facts["k"] == 17).sum())
+
+
+class TestZ3YearlyIndex:
+    """Port of the reference's Z3IndexTest 'index and query yearly epochs
+    correctly' (geomesa-index-api .../index/Z3IndexTest.scala:26-67): 32
+    December-2020 features (2020 is a leap year — the yearly bin must use
+    real calendar lengths, not 365-day arithmetic), indexed with
+    period='year', then (a) a month-wide bbox+during returns ALL features
+    and (b) a last-day narrow bbox+during returns exactly the last one."""
+
+    @pytest.fixture(scope="class")
+    def features(self, spark):
+        rows = []
+        for i in range(10):       # track1: hours of Dec 7, lon 40+i
+            rows.append((i, f"name{i}", "track1",
+                         f"2020-12-07 0{i}:00:00", 40.0 + i, 60.0))
+        for i in range(10, 20):   # track2: day i, hour i, lon 40+(i-10)
+            rows.append((i, f"name{i}", "track2",
+                         f"2020-12-{i} {i}:00:00", 40.0 + (i - 10), 60.0))
+        for i in range(20, 30):   # track3: day i, hour i-10, lon 60+(i-20)
+            rows.append((i, f"name{i}", "track3",
+                         f"2020-12-{i} {i - 10}:00:00", 60.0 + (i - 20), 60.0))
+        for i in range(30, 32):   # track4: day i, hour i-10, lon i-20
+            rows.append((i, f"name{i}", "track4",
+                         f"2020-12-{i} {i - 10}:00:00", float(i - 20), 60.0))
+        df = spark.createDataFrame(
+            rows, "fid long, name string, track string, ts string, "
+                  "lon double, lat double").withColumn("ts", F.to_timestamp("ts"))
+        return df
+
+    @pytest.fixture(scope="class")
+    def year_indexed(self, spark, features, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("z3year") / "feats")
+        write_indexed(features, path, period="year", id_col="fid")
+        return read_indexed(spark, path)
+
+    def test_yearly_bin_is_calendar_based(self, year_indexed):
+        # one yearly bin for all of Dec 2020; bin == years since 1970
+        bins = [r.time_bin for r in
+                year_indexed.select("time_bin").distinct().collect()]
+        assert bins == [2020 - 1970]
+
+    def test_month_window_returns_all(self, year_indexed):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(0, 55, 70, 65),
+                         interval=("2020-12-01 00:00:00",
+                                   "2020-12-31 23:59:59.999"),
+                         z2_col="z2")
+        got = sorted(r.fid for r in q.apply(year_indexed).collect())
+        assert got == list(range(32))
+
+    def test_last_day_window_returns_last_feature(self, year_indexed):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(9, 59, 12, 61),
+                         interval=("2020-12-31 00:00:00",
+                                   "2020-12-31 23:59:59.999"),
+                         z2_col="z2")
+        rows = q.apply(year_indexed).collect()
+        assert [r.fid for r in rows] == [31]
+        assert rows[0].name == "name31" and rows[0].track == "track4"
