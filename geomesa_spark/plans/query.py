@@ -85,6 +85,7 @@ class SpatialQuery:
     lat_col: str = "lat"
     ts_col: str = "ts"
     z2_col: Optional[str] = None               # name of a z2 column, if present
+    s2_col: Optional[str] = None               # name of an s2 column, if present
     allow_full_scan: bool = False
 
     def predicate(self, df: DataFrame) -> Optional[Column]:
@@ -104,6 +105,11 @@ class SpatialQuery:
             boxes.append(bbox)
             if self.z2_col is not None and self.z2_col in df.columns:
                 preds.append(cover.z2_range_predicate(F.col(self.z2_col), boxes))
+            # S3Index analog (index/s3/S3IndexKeySpace.scala): S2 cell-id
+            # ranges prune an s2-sorted layout; the exact lon/lat between
+            # above stays as the row-level recheck
+            if self.s2_col is not None and self.s2_col in df.columns:
+                preds.append(cover.s2_range_predicate(F.col(self.s2_col), boxes))
             # residual exact refine, skipped for rectangles (exact ranges)
             if geom is not None and not _is_rectangle(geom):
                 preds.append(points_in_geometry_udf(geom)(lon, lat))

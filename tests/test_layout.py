@@ -361,3 +361,132 @@ class TestZ3YearlyIndex:
         rows = q.apply(year_indexed).collect()
         assert [r.fid for r in rows] == [31]
         assert rows[0].name == "name31" and rows[0].track == "track4"
+
+
+class TestS3WeeklyIndex:
+    """Port of the reference's S3IndexTest (geomesa-index-api
+    .../index/S3IndexTest.scala:30-178): 30 May-2010 features over an
+    S2-keyed weekly layout (the S3 index = S2 cell + week bin,
+    index/s3/S3IndexKeySpace.scala), with the suite's twelve exact
+    expected-id sets — inclusive/exclusive bbox and date windows, whole
+    world, week-boundary crossings, tiny bbox+minute window, GT/LT dates,
+    secondary attribute filters, and (functional) transforms."""
+
+    @pytest.fixture(scope="class")
+    def s3_indexed(self, spark, tmp_path_factory):
+        rows = []
+        for i in range(10):       # track1: hours of May 7, lon 40+i
+            rows.append((i, f"name{i}", "track1",
+                         f"2010-05-07 0{i}:00:00", 40.0 + i, 60.0))
+        for i in range(10, 20):   # track2: day i, hour i, lon 40+(i-10)
+            rows.append((i, f"name{i}", "track2",
+                         f"2010-05-{i} {i}:00:00", 40.0 + (i - 10), 60.0))
+        for i in range(20, 30):   # track3: day i, hour i-10, lon 60+(i-20)
+            rows.append((i, f"name{i}", "track3",
+                         f"2010-05-{i} {i - 10}:00:00", 60.0 + (i - 20), 60.0))
+        df = spark.createDataFrame(
+            rows, "fid long, name string, track string, ts string, "
+                  "lon double, lat double").withColumn("ts", F.to_timestamp("ts"))
+        path = str(tmp_path_factory.mktemp("s3week") / "feats")
+        write_indexed(df, path, period="week", id_col="fid", cell="s2")
+        return read_indexed(spark, path)
+
+    def _ids(self, s3_indexed, bbox, lo, hi, where=None):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=bbox, interval=(lo, hi), where=where,
+                         s2_col="s2")
+        return sorted(r.fid for r in q.apply(s3_indexed).select("fid").collect())
+
+    def test_inclusive_filter_returns_all_of_day(self, s3_indexed):
+        got = self._ids(s3_indexed, (38, 59, 51, 61),
+                        "2010-05-07 00:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(10))
+
+    def test_exclusive_geom_filter(self, s3_indexed):
+        got = self._ids(s3_indexed, (38, 59, 45, 61),
+                        "2010-05-07 00:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(6))
+
+    def test_exclusive_date_filter(self, s3_indexed):
+        got = self._ids(s3_indexed, (38, 59, 51, 61),
+                        "2010-05-07 06:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(6, 10))
+
+    def test_whole_world_filter(self, s3_indexed):
+        got = self._ids(s3_indexed, (-180, -90, 180, 90),
+                        "2010-05-07 05:00:00", "2010-05-07 08:00:00")
+        assert got == list(range(5, 9))
+
+    def test_across_week_bounds(self, s3_indexed):
+        got = self._ids(s3_indexed, (45, 59, 51, 61),
+                        "2010-05-07 06:00:00", "2010-05-21 00:00:00")
+        assert got == list(range(6, 10)) + list(range(15, 20))
+
+    def test_across_two_weeks(self, s3_indexed):
+        got = self._ids(s3_indexed, (44.5, 59, 50, 61),
+                        "2010-05-10 00:00:00", "2010-05-17 23:59:59.999")
+        assert got == list(range(15, 18))
+
+    def test_whole_world_across_week_bounds(self, s3_indexed):
+        got = self._ids(s3_indexed, (-180, -90, 180, 90),
+                        "2010-05-07 06:00:00", "2010-05-21 00:00:00")
+        assert got == list(range(6, 21))
+
+    def test_whole_world_across_three_weeks(self, s3_indexed):
+        got = self._ids(s3_indexed, (-180, -90, 180, 90),
+                        "2010-05-08 06:00:00", "2010-05-30 00:00:00")
+        assert got == list(range(10, 30))
+
+    def test_small_bbox_and_minute_window(self, s3_indexed):
+        got = self._ids(s3_indexed, (40.999, 59.999, 41.001, 60.001),
+                        "2010-05-07 00:59:00", "2010-05-07 01:01:00")
+        assert got == [1]
+
+    def test_anded_gt_lt_dates(self, s3_indexed):
+        # dtg >= lo AND dtg <= hi == inclusive between
+        got = self._ids(s3_indexed, (38, 59, 51, 61),
+                        "2010-05-07 06:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(6, 10))
+
+    def test_secondary_attribute_filter(self, s3_indexed):
+        got = self._ids(s3_indexed, (38, 59, 51, 61),
+                        "2010-05-07 05:00:00", "2010-05-07 10:00:00",
+                        where="name = 'name8'")
+        assert got == [8]
+
+    def test_transforms(self, s3_indexed):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(38, 59, 51, 61),
+                         interval=("2010-05-07 06:00:00",
+                                   "2010-05-08 00:00:00"),
+                         s2_col="s2", select=["name"])
+        out = q.apply(s3_indexed)
+        assert out.columns == ["name"]
+        assert sorted(r.name for r in out.collect()) == [
+            f"name{i}" for i in range(6, 10)]
+
+    def test_functional_transforms(self, s3_indexed):
+        import re
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(38, 59, 51, 61),
+                         interval=("2010-05-07 06:00:00",
+                                   "2010-05-08 00:00:00"),
+                         s2_col="s2",
+                         select=["concat('my', name) AS derived"])
+        out = q.apply(s3_indexed)
+        assert out.columns == ["derived"]
+        vals = sorted(r.derived for r in out.collect())
+        assert len(vals) == 4
+        assert all(re.fullmatch(r"myname\d", v) for v in vals)
+
+    def test_s2_ranges_prune_the_scan(self, s3_indexed):
+        # the s2 BETWEEN ranges must reach the parquet scan as pushed
+        # filters (index scan, not full scan + recheck)
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(40.999, 59.999, 41.001, 60.001),
+                         interval=("2010-05-07 00:59:00",
+                                   "2010-05-07 01:01:00"),
+                         s2_col="s2")
+        plan = q.apply(s3_indexed)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        assert "s2" in plan.split("PushedFilters")[1][:400]
