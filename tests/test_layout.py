@@ -490,3 +490,53 @@ class TestS3WeeklyIndex:
         plan = q.apply(s3_indexed)._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan
         assert "s2" in plan.split("PushedFilters")[1][:400]
+
+
+class TestXZ3LineStringIndex:
+    """Port of the reference's XZ3IndexTest (geomesa-index-api
+    .../index/XZ3IndexTest.scala:26-66): the same 32-feature December-2020
+    fixture as Z3IndexTest but with vertical LINESTRING(lon 60, lon 61)
+    footprints — non-point geometries go through the XZ3 footprint index
+    (xz3_bbox_during: XZ sequence-code prefilter + exact overlap recheck).
+    Weekly bins here (with_xz3's fixed-width binning; the yearly
+    calendar-bin behavior is covered by TestZ3YearlyIndex) — the expected
+    result sets are bin-width independent because the recheck is exact."""
+
+    @pytest.fixture(scope="class")
+    def lines(self, spark):
+        rows = []
+        for i in range(10):
+            rows.append((i, f"name{i}", "track1",
+                         f"2020-12-07 0{i}:00:00",
+                         40.0 + i, 60.0, 40.0 + i, 61.0))
+        for i in range(10, 20):
+            rows.append((i, f"name{i}", "track2",
+                         f"2020-12-{i} {i}:00:00",
+                         40.0 + (i - 10), 60.0, 40.0 + (i - 10), 61.0))
+        for i in range(20, 30):
+            rows.append((i, f"name{i}", "track3",
+                         f"2020-12-{i} {i - 10}:00:00",
+                         60.0 + (i - 20), 60.0, 60.0 + (i - 20), 61.0))
+        for i in range(30, 32):
+            rows.append((i, f"name{i}", "track4",
+                         f"2020-12-{i} {i - 10}:00:00",
+                         float(i - 20), 60.0, float(i - 20), 61.0))
+        return spark.createDataFrame(
+            rows, "fid long, name string, track string, ts string, "
+                  "xmin double, ymin double, xmax double, ymax double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_month_window_returns_all(self, lines):
+        from geomesa_spark.operators.footprints import xz3_bbox_during
+        got = sorted(r.fid for r in xz3_bbox_during(
+            lines, (0, 55, 70, 65),
+            ("2020-12-01 00:00:00", "2020-12-31 23:59:59.999")).collect())
+        assert got == list(range(32))
+
+    def test_last_day_window_returns_last_feature(self, lines):
+        from geomesa_spark.operators.footprints import xz3_bbox_during
+        rows = xz3_bbox_during(
+            lines, (9, 59, 12, 61),
+            ("2020-12-31 00:00:00", "2020-12-31 23:59:59.999")).collect()
+        assert [r.fid for r in rows] == [31]
+        assert rows[0].name == "name31" and rows[0].track == "track4"
