@@ -157,6 +157,18 @@ class EcqlParser:
             return self.spatial()
         if k == "word" and v.upper() == "IN":
             return self.in_list(self.ctx.fid_col)
+        if k == "word" and v.upper() in ("INCLUDE", "EXCLUDE"):
+            # constant filters (geotools Filter.INCLUDE / Filter.EXCLUDE)
+            self.next()
+            return F.lit(v.upper() == "INCLUDE")
+        # expression-first predicates: a literal or an ECQL function call on
+        # the left of the comparison ('BILL' = strToUpperCase(name), ...)
+        if k in ("string", "number") or (k == "word" and self._is_fn_call()):
+            lhs = self.expr_value()
+            k2, op = self.next()
+            if k2 != "op":
+                raise ValueError(f"expected operator, got {op!r}")
+            return self._compare(lhs, op, self.expr_value())
         # property-first predicates
         prop = self.expect("word")
         w = self._peek_word()
@@ -201,6 +213,9 @@ class EcqlParser:
         k2, op = self.next()
         if k2 != "op":
             raise ValueError(f"expected operator after {prop}, got {op!r}")
+        if self._is_fn_call():
+            # function on the right: name = strToLowerCase('bill')
+            return self._compare(F.col(prop), op, self.expr_value())
         lit = self.literal()
         c = F.col(prop)
         if isinstance(lit, str) and _ISO.match(lit):
@@ -254,11 +269,112 @@ class EcqlParser:
             return v  # bare word treated as string (reference: unquoted vals)
         raise ValueError(f"expected literal, got {k} {v!r}")
 
+    # -- ECQL filter functions ---------------------------------------------------
+    # The geotools FilterFunction surface the reference evaluates inside
+    # filters (AttributeIndexTest.scala:151-180 exercises the string/math
+    # set) compiled to native Catalyst expressions.
+
+    def _is_fn_call(self) -> bool:
+        k, v = self.peek()
+        return (k == "word" and v.upper() not in SPATIAL_OPS
+                and self.tokens[self.pos + 1][0] == "lparen")
+
+    def expr_value(self):
+        """A comparison operand: literal, property reference, or (possibly
+        nested) function call.  Returns a Column for properties/functions,
+        a python value for literals."""
+        k, v = self.peek()
+        if k == "word":
+            if self._is_fn_call():
+                name = self.next()[1]
+                self.expect("lparen")
+                args = []
+                if self.peek()[0] != "rparen":
+                    args.append(self.expr_value())
+                    while self.peek()[0] == "comma":
+                        self.next()
+                        args.append(self.expr_value())
+                self.expect("rparen")
+                return self._apply_fn(name, args)
+            self.next()
+            return F.col(v)  # bare word in expression position = property
+        return self.literal()
+
+    @staticmethod
+    def _compare(lhs, op: str, rhs) -> Column:
+        if not isinstance(lhs, Column):
+            lhs = F.lit(lhs)
+        return {"=": lhs == rhs, "<>": lhs != rhs, "<": lhs < rhs,
+                "<=": lhs <= rhs, ">": lhs > rhs, ">=": lhs >= rhs}[op]
+
+    @staticmethod
+    def _apply_fn(name: str, args: list) -> Column:
+        def col(a):
+            return a if isinstance(a, Column) else F.lit(a)
+
+        n = name
+        if n == "strToUpperCase":
+            return F.upper(col(args[0]))
+        if n == "strToLowerCase":
+            return F.lower(col(args[0]))
+        if n == "strCapitalize":
+            return F.initcap(col(args[0]))
+        if n == "strTrim":
+            return F.trim(col(args[0]))
+        if n == "strConcat":
+            return F.concat(col(args[0]), col(args[1]))
+        if n == "strLength":
+            return F.length(col(args[0]))
+        if n == "strIndexOf":
+            # geotools returns the 0-based index, -1 when absent
+            return F.locate(str(args[1]), col(args[0])) - 1
+        if n == "strStartsWith":
+            return col(args[0]).startswith(str(args[1]))
+        if n == "strEndsWith":
+            return col(args[0]).endswith(str(args[1]))
+        if n == "strEqualsIgnoreCase":
+            return F.upper(col(args[0])) == F.upper(col(args[1]))
+        if n == "strSubstring":
+            # geotools: [begin, end) 0-based -> substring is 1-based + length
+            begin, end = int(args[1]), int(args[2])
+            return F.substring(col(args[0]), begin + 1, end - begin)
+        if n == "strReplace":
+            c, search, repl = col(args[0]), str(args[1]), str(args[2])
+            replace_all = str(args[3]).lower() in ("true", "1")
+            if replace_all:
+                return F.replace(c, F.lit(search), F.lit(repl))
+            # first occurrence only
+            pos = F.locate(search, c)
+            return F.when(pos == 0, c).otherwise(F.concat(
+                c.substr(F.lit(1), pos - 1), F.lit(repl),
+                c.substr(pos + len(search), F.length(c))))
+        if n == "abs":
+            return F.abs(col(args[0]))
+        if n == "ceil":
+            return F.ceil(col(args[0]))
+        if n == "floor":
+            return F.floor(col(args[0]))
+        if n == "min":
+            return F.least(col(args[0]), col(args[1]))
+        if n == "max":
+            return F.greatest(col(args[0]), col(args[1]))
+        raise ValueError(f"unsupported ECQL function: {name!r}")
+
     # -- spatial ----------------------------------------------------------------
 
     def spatial(self) -> Column:
         op = self.expect("word").upper()
         self.expect("lparen")
+        if self.peek()[0] == "string":
+            # geometry-first form — contains('POLYGON (...)', geom) — maps
+            # to the converse property-first operator (geotools accepts
+            # either argument order; AttributeIndexTest.scala:223 uses it)
+            g = wkt.wkt_loads(self.next()[1][1:-1])
+            self.expect("comma")
+            prop = self.expect("word")
+            self.expect("rparen")
+            op = {"CONTAINS": "WITHIN", "WITHIN": "CONTAINS"}.get(op, op)
+            return self._spatial_predicate(op, prop, g)
         prop = self.expect("word")
         self.expect("comma")
         if op == "BBOX":
@@ -315,7 +431,11 @@ class EcqlParser:
             from geomesa_spark.geom import algos
 
             def make(fn):
-                def refine(lon: pd.Series, lat: pd.Series) -> pd.Series:
+                # no parameter annotations: under `from __future__ import
+                # annotations` the stringified hints reference the locally
+                # imported pd and pandas_udf cannot resolve them — the
+                # explicit returnType selects the scalar UDF path instead
+                def refine(lon, lat):
                     return pd.Series(fn(lon.to_numpy(np.float64), lat.to_numpy(np.float64)))
                 return F.pandas_udf(refine, BooleanType())(F.col(ctx.lon_col), F.col(ctx.lat_col))
 

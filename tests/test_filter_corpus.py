@@ -132,3 +132,118 @@ def test_corpus_has_selective_and_nonselective(spark, fixture):
     assert any(s == 0 for s in sizes) or True
     assert any(0 < s < len(pdf) for s in sizes)
     assert any(s > 100 for s in sizes)
+
+
+# ---------------------------------------------------------------------------
+# AttributeIndexTest ports (geomesa-index-api .../index/AttributeIndexTest
+# .scala): the alice/bill/bob/charles fixture with exact expected-id sets
+# for ECQL filter functions, LIKE/ILIKE wildcards, and attribute+z3
+# secondary windows.
+
+@pytest.fixture(scope="module")
+def attr_fixture(spark):
+    rows = [
+        ("alice",   20,   10.0, "2012-01-01 12:00:00", 45.0, 49.0),
+        ("bill",    21,   11.0, "2013-01-01 12:00:00", 46.0, 49.0),
+        ("bob",     30,   12.0, "2014-01-01 12:00:00", 47.0, 49.0),
+        ("charles", None, 12.0, "2014-01-01 12:30:00", 48.0, 49.0),
+    ]
+    return (spark.createDataFrame(
+        rows, "name string, age int, height double, dtg string, "
+              "lon double, lat double")
+        .withColumn("dtg", F.to_timestamp("dtg")))
+
+
+ATTR_FN_FILTERS = [
+    # AttributeIndexTest.scala:151-180 "handle functions": every filter
+    # selects exactly bill
+    "strToUpperCase(name) = 'BILL'",
+    "strCapitalize(name) = 'Bill'",
+    "strConcat(name, 'foo') = 'billfoo'",
+    "strIndexOf(name, 'ill') = 1",
+    "strReplace(name, 'ill', 'all', false) = 'ball'",
+    "strSubstring(name, 0, 2) = 'bi'",
+    "strToLowerCase(name) = 'bill'",
+    "strTrim(name) = 'bill'",
+    "abs(age) = 21",
+    "ceil(age) = 21",
+    "floor(age) = 21",
+    "'BILL' = strToUpperCase(name)",
+    "strToUpperCase('bill') = strToUpperCase(name)",
+    "strToUpperCase(name) = strToUpperCase('bill')",
+    "name = strToLowerCase('bill')",
+]
+
+
+@pytest.mark.parametrize("ecql", ATTR_FN_FILTERS)
+def test_attr_index_functions_select_bill(spark, attr_fixture, ecql):
+    got = [r.name for r in attr_fixture
+           .where(ecql_to_column(ecql, EcqlContext())).collect()]
+    assert got == ["bill"], ecql
+
+
+ATTR_WILDCARDS = [
+    # AttributeIndexTest.scala:223-262 "handle various wildcards" (fixture
+    # plus bot/bub/bobbed copies of bob)
+    ("name like 'alice'", ["alice"]),
+    ("name like 'b%'",    ["bill", "bob", "bobbed", "bot", "bub"]),
+    ("name like 'bo_'",   ["bob", "bot"]),
+    ("name like 'b_b'",   ["bob", "bub"]),
+    ("name like 'b%b'",   ["bob", "bub"]),
+    ("name like 'b__l'",  ["bill"]),
+    ("name ilike 'B%b'",  ["bob", "bub"]),
+    ("name ilike 'ALi%'", ["alice"]),
+]
+
+
+@pytest.fixture(scope="module")
+def attr_wildcard_fixture(spark, attr_fixture):
+    bob_like = [("bot",), ("bub",), ("bobbed",)]
+    extra = (attr_fixture.where("name = 'bob'").drop("name").crossJoin(
+        attr_fixture.sparkSession.createDataFrame(bob_like, "name string")))
+    return attr_fixture.unionByName(extra.select(attr_fixture.columns))
+
+
+@pytest.mark.parametrize("ecql,expected", ATTR_WILDCARDS)
+def test_attr_index_wildcards(spark, attr_wildcard_fixture, ecql, expected):
+    got = sorted(r.name for r in attr_wildcard_fixture
+                 .where(ecql_to_column(ecql, EcqlContext())).collect())
+    assert got == expected, ecql
+    # the reference re-runs each case AND'ed with a date window that spans
+    # every feature — results must be unchanged
+    dated = (f"{ecql} AND dtg > '2012-01-01T11:45:00.000Z' "
+             f"AND dtg < '2014-01-01T13:00:00.000Z'")
+    got2 = sorted(r.name for r in attr_wildcard_fixture
+                  .where(ecql_to_column(dated, EcqlContext())).collect())
+    assert got2 == expected, dated
+
+
+def test_attr_index_secondary_ranges(spark, attr_fixture):
+    # AttributeIndexTest.scala:83-109: height matches bob+charles, the
+    # spatio-temporal window narrows to bob (GEOMESA-1902 scenario)
+    st = ("bbox(geom, 46.9, 48.9, 48.1, 49.1) AND "
+          "dtg DURING 2014-01-01T11:45:00.000Z/2014-01-01T12:15:00.000Z")
+    got = [r.name for r in attr_fixture
+           .where(ecql_to_column(f"height = 12.0 AND {st}",
+                                 EcqlContext(prefer_lonlat=True))).collect()]
+    assert got == ["bob"]
+
+
+def test_attr_index_not_nulls_and_include(spark, attr_fixture):
+    # AttributeIndexTest.scala:111-129: geometry-first contains() plus
+    # IS NOT NULL guards plus constant INCLUDE
+    f = ("contains('POLYGON ((46.9 48.9, 47.1 48.9, 47.1 49.1, 46.9 49.1, "
+         "46.9 48.9))', geom) AND name = 'bob' AND dtg IS NOT NULL "
+         "AND name IS NOT NULL AND INCLUDE")
+    got = [r.name for r in attr_fixture
+           .where(ecql_to_column(f, EcqlContext(prefer_lonlat=True))).collect()]
+    assert got == ["bob"]
+
+
+def test_attr_index_one_sided_secondary(spark, attr_fixture):
+    # AttributeIndexTest.scala:202-222: implicit upper bound for the
+    # one-sided date filter -> bob and charles
+    f = "height = 12.0 AND dtg > '2014-01-01T11:45:00.000Z'"
+    got = sorted(r.name for r in attr_fixture
+                 .where(ecql_to_column(f, EcqlContext())).collect())
+    assert got == ["bob", "charles"]
