@@ -185,6 +185,11 @@ class EcqlParser:
             c = F.col(prop).cast("timestamp")
             return c < F.lit(_ts(t)).cast("timestamp") if w == "BEFORE" \
                 else c > F.lit(_ts(t)).cast("timestamp")
+        if w == "TEQUALS":
+            # strict temporal equality (ECQL TEquals, unquoted ISO operand)
+            self.next()
+            t = self.expect("iso")
+            return F.col(prop).cast("timestamp") == F.lit(_ts(t)).cast("timestamp")
         if w == "NOT":
             self.next()
             w2 = self._peek_word()

@@ -247,3 +247,45 @@ def test_attr_index_one_sided_secondary(spark, attr_fixture):
     got = sorted(r.name for r in attr_fixture
                  .where(ecql_to_column(f, EcqlContext())).collect())
     assert got == ["bob", "charles"]
+
+
+DATE_EQ_FILTERS = [
+    # AttributeIndexTest.scala:335-360 "handle secondary date equality
+    # filters": every spelling of dtg == 2014-01-01T12:00:00Z
+    "dtg = '2014-01-01T12:00:00.000Z'",
+    "dtg tequals 2014-01-01T12:00:00.000Z",
+    "dtg during 2014-01-01T11:59:59.999Z/2014-01-01T12:00:00.001Z",
+    "dtg between '2014-01-01T12:00:00.000Z' and '2014-01-01T12:00:00.000Z'",
+    "dtg >= '2014-01-01T12:00:00.000Z' and dtg < '2014-01-01T12:00:00.001Z'",
+]
+
+
+@pytest.mark.parametrize("ecql", DATE_EQ_FILTERS)
+def test_attr_index_date_equality(spark, attr_fixture, ecql):
+    got = [r.name for r in attr_fixture
+           .where(ecql_to_column(f"name = 'bob' and {ecql}",
+                                 EcqlContext())).collect()]
+    assert got == ["bob"], ecql
+
+
+def test_attr_index_large_ord_in_list(spark):
+    # AttributeIndexTest.scala:263-308 "handle large or'd attribute
+    # queries": a 1000-entry IN list AND a date window over 5000 rows must
+    # return exactly the listed features (and plan as one IN-filter scan,
+    # not 1000 ORs)
+    import random
+    r = random.Random(0)
+    rows = [("".join(str(r.randint(0, 8)) for _ in range(20)) + "<foobar>",
+             f"2014-01-{(i % 30) + 1:02d} 01:00:00", 45.0, 45.0)
+            for i in range(5000)]
+    df = (spark.createDataFrame(
+        rows, "attr string, dtg string, lon double, lat double")
+        .withColumn("dtg", F.to_timestamp("dtg")))
+    wanted = [row[0] for row in rows[:1000]]
+    in_list = ", ".join(f"'{a}'" for a in wanted)
+    f = (f"dtg between '2014-01-01T00:00:00.000Z' and "
+         f"'2014-01-31T00:00:00.000Z' and attr in ({in_list})")
+    out = df.where(ecql_to_column(f, EcqlContext()))
+    assert out.count() == len(set(wanted))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert " OR " not in plan  # compiled as IN/INSET, not an OR chain
