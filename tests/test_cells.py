@@ -439,3 +439,18 @@ class TestS2:
         assert sfc.index(200.0, 95.0, lenient=True) == sfc.index(180.0, 90.0)
         with pytest.raises(ValueError):
             sfc.index(200.0, 0.0)
+
+
+def test_xz2_geoms_list_corpus():
+    """XZ2SFCTest.scala:105-128 'index complex features and query them2':
+    every geometry bbox in the reference's geoms.list resource (135
+    fixtures from the accumulo FilterTest) must be matched by the XZ2
+    ranges for the query window (45, 23, 48, 27)."""
+    from tests.data.xz2_geoms_list import GEOMS
+    sfc = XZ2SFC(12)
+    ranges = sfc.ranges([(45.0, 23.0, 48.0, 27.0)])
+    assert len(GEOMS) == 135
+    for xmin, ymin, xmax, ymax in GEOMS:
+        idx = sfc.index(xmin, ymin, xmax, ymax)
+        assert any(r.lower <= idx <= r.upper for r in ranges), \
+            (xmin, ymin, xmax, ymax)
