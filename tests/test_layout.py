@@ -540,3 +540,90 @@ class TestXZ3LineStringIndex:
             ("2020-12-31 00:00:00", "2020-12-31 23:59:59.999")).collect()
         assert [r.fid for r in rows] == [31]
         assert rows[0].name == "name31" and rows[0].track == "track4"
+
+
+class TestS2SpatialIndex:
+    """Port of the reference's S2IndexTest (geomesa-index-api
+    .../index/S2IndexTest.scala:28-127): 30 features spread across
+    LATITUDES (lat 60..69 twice, 80..89 once, all at lon 40) over an
+    S2-keyed layout, with the suite's eight exact expected-id sets —
+    including the pure-spatial small-bbox case with no time filter."""
+
+    @pytest.fixture(scope="class")
+    def s2_indexed(self, spark, tmp_path_factory):
+        rows = []
+        for i in range(10):       # track1: hours of May 7, lat 60+i
+            rows.append((i, f"name{i}", "track1",
+                         f"2010-05-07 0{i}:00:00", 40.0, 60.0 + i))
+        for i in range(10, 20):   # track2: day i, hour i, lat 60+(i-10)
+            rows.append((i, f"name{i}", "track2",
+                         f"2010-05-{i} {i}:00:00", 40.0, 60.0 + (i - 10)))
+        for i in range(20, 30):   # track3: day i, hour i-10, lat 80+(i-20)
+            rows.append((i, f"name{i}", "track3",
+                         f"2010-05-{i} {i - 10}:00:00", 40.0, 80.0 + (i - 20)))
+        df = spark.createDataFrame(
+            rows, "fid long, name string, track string, ts string, "
+                  "lon double, lat double").withColumn("ts", F.to_timestamp("ts"))
+        path = str(tmp_path_factory.mktemp("s2idx") / "feats")
+        write_indexed(df, path, period="week", id_col="fid", cell="s2")
+        return read_indexed(spark, path)
+
+    def _ids(self, s2_indexed, bbox, lo=None, hi=None, where=None):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=bbox,
+                         interval=(lo, hi) if lo else None,
+                         where=where, s2_col="s2")
+        return sorted(r.fid for r in q.apply(s2_indexed).select("fid").collect())
+
+    def test_inclusive_filter(self, s2_indexed):
+        got = self._ids(s2_indexed, (34.9, 54.9, 45.1, 75.1),
+                        "2010-05-07 00:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(10))
+
+    def test_exclusive_geom_filter(self, s2_indexed):
+        got = self._ids(s2_indexed, (34.9, 54.9, 45.1, 65.1),
+                        "2010-05-07 00:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(6))
+
+    def test_exclusive_date_filter(self, s2_indexed):
+        got = self._ids(s2_indexed, (34.9, 54.9, 45.1, 75.1),
+                        "2010-05-07 06:00:00", "2010-05-08 00:00:00")
+        assert got == list(range(6, 10))
+
+    def test_whole_world_filter(self, s2_indexed):
+        got = self._ids(s2_indexed, (-180, -90, 180, 90),
+                        "2010-05-07 05:00:00", "2010-05-07 08:00:00")
+        assert got == list(range(5, 9))
+
+    def test_small_bbox_no_time(self, s2_indexed):
+        got = self._ids(s2_indexed, (39.999, 60.999, 40.001, 61.001))
+        assert got == [1, 11]
+
+    def test_secondary_filter(self, s2_indexed):
+        got = self._ids(s2_indexed, (34.9, 54.9, 45.1, 75.1),
+                        "2010-05-07 06:00:00", "2010-05-08 00:00:00",
+                        where="name = 'name8'")
+        assert got == [8]
+
+    def test_transforms(self, s2_indexed):
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(34.9, 54.9, 45.1, 75.1),
+                         interval=("2010-05-07 06:00:00",
+                                   "2010-05-08 00:00:00"),
+                         s2_col="s2", select=["name"])
+        out = q.apply(s2_indexed)
+        assert out.columns == ["name"]
+        assert sorted(r.name for r in out.collect()) == [
+            f"name{i}" for i in range(6, 10)]
+
+    def test_functional_transforms(self, s2_indexed):
+        import re
+        from geomesa_spark.plans.query import SpatialQuery
+        q = SpatialQuery(bbox=(34.9, 54.9, 45.1, 75.1),
+                         interval=("2010-05-07 06:00:00",
+                                   "2010-05-08 00:00:00"),
+                         s2_col="s2",
+                         select=["concat('my', name) AS derived"])
+        vals = sorted(r.derived for r in q.apply(s2_indexed).collect())
+        assert len(vals) == 4
+        assert all(re.fullmatch(r"myname\d", v) for v in vals)
