@@ -281,6 +281,14 @@ def select_strategy(spec: QuerySpec, indices: list[str],
         for s in costed:
             if s.temporal and not math.isinf(s.cost):
                 return s
+    if math.isinf(costed[0].cost):
+        # no index applies to this filter: the answer is the always-
+        # available full-table scan, never an unusable index that happened
+        # to sort first (reference: the fallback FilterPlan is a full scan,
+        # QueryStrategyDeciderTest "get full table strategy")
+        count = stats.count if stats is not None else DEFAULT_COUNT_GUESS
+        return Strategy("full", "", _describe(spec), False, math.inf,
+                        count, math.inf)
     return costed[0]
 
 

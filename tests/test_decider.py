@@ -5,6 +5,8 @@ whenever ids are present."""
 
 import math
 
+import pytest
+
 from geomesa_spark.plans.decider import (HIGH, LOW, AttrPredicate, QuerySpec,
                                          Strategy, TableStats,
                                          estimate_count, select_strategy)
@@ -184,3 +186,92 @@ def test_scan_with_strategy_on_layout(spark, sf_dir, tmp_path):
     strat2 = q2.plan(["s2"], None)
     got2 = scan_with_strategy(df2, q2, strat2)
     assert got2.count() == q2.apply(df2).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# QueryStrategyDeciderTest ports (accumulo .../index/QueryStrategyDecider
+# Test.scala:92-344): strategy choice for each filter family.
+
+def test_z3_with_only_temporal_filters():
+    # "get the z3 strategy with only temporal filters"
+    s = select_strategy(QuerySpec(interval=(1_700_000_000, 1_700_086_400)),
+                        INDICES, STATS)
+    assert s.index == "z3"
+
+
+def test_z3_with_whole_world_and_temporal():
+    # "work with whole world filters and temporal filters"
+    s = select_strategy(QuerySpec(bbox=(-180.0, -90.0, 180.0, 90.0),
+                                  interval=(1_700_000_000, 1_700_086_400)),
+                        INDICES, STATS)
+    assert s.index == "z3"
+
+
+def test_z2_with_non_bounded_time_interval():
+    # "get the z2 strategy with non-bounded time intervals": a one-sided
+    # interval de-prioritizes z3 (multiplier 3.0) below the z2 scan
+    s = select_strategy(QuerySpec(bbox=(40.0, 20.0, 50.0, 30.0),
+                                  interval=(1_700_000_000, None)),
+                        INDICES, STATS)
+    assert s.index == "z2"
+
+
+def test_mixed_id_query_gets_records_strategy():
+    # "get the records strategy for mixed id queries": ids win over
+    # everything else in the conjunction
+    spec = QuerySpec(bbox=(40.0, 20.0, 50.0, 30.0),
+                     interval=(1_700_000_000, 1_700_086_400),
+                     attrs=(AttrPredicate("user_id", "eq", (42,)),),
+                     ids=("a", "b", "c"))
+    s = select_strategy(spec, INDICES, STATS)
+    assert s.index == "id"
+
+
+def test_not_null_gets_attr_strategy_when_indexed():
+    # "IS NOT NULL ... get the attribute strategy if attribute is indexed"
+    spec = QuerySpec(attrs=(AttrPredicate("user_id", "not_null"),))
+    s = select_strategy(spec, INDICES, STATS)
+    assert s.index == "attr:user_id"
+
+
+def test_not_null_gets_full_table_when_not_indexed():
+    # "... get full table strategy if attribute is not indexed"
+    spec = QuerySpec(attrs=(AttrPredicate("value", "not_null"),))
+    s = select_strategy(spec, ["id", "z3", "z2", "full"], STATS)
+    assert s.index == "full"
+
+
+def test_not_null_deprioritized_below_equality():
+    # "de-prioritize not-null queries": age = 21 AND name IS NOT NULL must
+    # scan the equality index, keeping the not-null as secondary
+    indices = ["attr:user_id", "attr:event_type", "full"]
+    spec = QuerySpec(attrs=(AttrPredicate("event_type", "eq", ("a",)),
+                            AttrPredicate("user_id", "not_null")))
+    s = select_strategy(spec, indices, STATS)
+    assert s.index == "attr:event_type"
+    assert "user_id" in s.secondary
+
+
+@pytest.mark.parametrize("order", ["first", "middle", "last"])
+def test_best_attr_filter_among_several(order):
+    # "find the best filter among several / when best is first|middle|last":
+    # the highest-selectivity equality wins regardless of position
+    best = AttrPredicate("user_id", "eq", (7,))        # 100k distinct
+    worse = AttrPredicate("event_type", "eq", ("x",))  # 5 distinct
+    also = AttrPredicate("event_type", "in", ("y", "z"))
+    attrs = {"first": (best, worse, also),
+             "middle": (worse, best, also),
+             "last": (worse, also, best)}[order]
+    s = select_strategy(QuerySpec(attrs=attrs), INDICES + ["full"], STATS)
+    assert s.index == "attr:user_id"
+
+
+def test_z3_beats_declared_low_cardinality_attr():
+    # "prioritize z3 index over low-cardinality join indexed attributes":
+    # the declared-cardinality override (x10 multiplier), independent of
+    # collected stats
+    spec = QuerySpec(bbox=(40.0, 20.0, 50.0, 30.0),
+                     interval=(1_700_000_000, 1_700_086_400),
+                     attrs=(AttrPredicate("event_type", "eq", ("a",)),))
+    s = select_strategy(spec, INDICES, STATS, cardinality={"event_type": LOW})
+    assert s.index == "z3"
