@@ -87,6 +87,9 @@ class LocalEcql:
             return self.spatial()
         if k == "word" and v.upper() == "IN":
             return self.in_list(self.fid_col)
+        if k == "word" and v.upper() in ("INCLUDE", "EXCLUDE"):
+            self.next()
+            return np.full(self.n, v.upper() == "INCLUDE")
         prop = self.expect("word")
         w = self._peek_word()
         col = self.pdf[prop] if prop in self.pdf.columns else pd.Series([None] * self.n)
@@ -102,6 +105,10 @@ class LocalEcql:
             t = pd.Timestamp(self.expect("iso").rstrip("Z"))
             c = pd.to_datetime(col)
             return ((c < t) if w == "BEFORE" else (c > t)).to_numpy()
+        if w == "TEQUALS":
+            self.next()
+            t = pd.Timestamp(self.expect("iso").rstrip("Z"))
+            return (pd.to_datetime(col) == t).to_numpy()
         if w == "NOT":
             self.next()
             w2 = self._peek_word()

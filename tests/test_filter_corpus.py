@@ -289,3 +289,18 @@ def test_attr_index_large_ord_in_list(spark):
     assert out.count() == len(set(wanted))
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert " OR " not in plan  # compiled as IN/INSET, not an OR chain
+
+
+def test_local_evaluator_supports_new_operators(spark, fixture):
+    """Dual-evaluator property for the grammar added with the
+    AttributeIndexTest ports: INCLUDE/EXCLUDE constants and TEQUALS must
+    agree between the Catalyst compiler and the naive local evaluator."""
+    df, pdf = fixture
+    for ecql in ("INCLUDE", "EXCLUDE",
+                 "attr2 = 'val56' AND INCLUDE",
+                 "dtg tequals 2010-07-15T12:00:00.000Z"):
+        got = {r["__fid__"] for r in
+               df.where(ecql_to_column(ecql, EcqlContext()))
+                 .select("__fid__").collect()}
+        want = set(local_filter(ecql, pdf)["__fid__"])
+        assert got == want, ecql
