@@ -37,7 +37,7 @@ def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
     `[shard][2B time-bin][8B xz(bbox)]` row keys.
     """
     sfc = XZ3SFC(g, period=period)
-    period_ms = WEEK_MS  # weekly bins (reference default for xz3)
+    period_ms, off_div = _fixed_period(period)
 
     def idx(xmin: pd.Series, ymin: pd.Series, zsec: pd.Series,
             xmax: pd.Series, ymax: pd.Series) -> pd.Series:
@@ -52,11 +52,30 @@ def with_xz3(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
     # reference's BinnedTime rejects pre-epoch dates outright
     # (z3/BinnedTime.scala), we support them instead.
     millis = (F.unix_timestamp(ts_col) * 1000)
-    offset_sec = (F.pmod(millis, F.lit(period_ms)) / 1000).cast("double")
+    offset_sec = (F.pmod(millis, F.lit(period_ms)) / off_div).cast("double")
     return (df
             .withColumn("xz3_bin", F.floor(millis / period_ms))
             .withColumn("xz3", udf(F.col(xmin_col), F.col(ymin_col),
                                    offset_sec, F.col(xmax_col), F.col(ymax_col))))
+
+
+def _fixed_period(period: str) -> tuple[int, int]:
+    """(bin width ms, offset divisor) for the fixed-width periods.
+
+    The reference's per-period offset precision (z3/BinnedTime.scala:
+    day offsets in MILLIS, week offsets in SECONDS) must match the z-axis
+    bounds XZ3SFC derives from BinnedTime.max_offset — a week-second
+    offset against a day-milli axis would silently break losslessness,
+    so calendar periods (month/year: variable bin width) are rejected
+    rather than approximated."""
+    from geomesa_spark.cells.z3 import DAY_MS
+    if period == "week":
+        return WEEK_MS, 1000
+    if period == "day":
+        return DAY_MS, 1
+    raise ValueError(
+        f"with_xz3 supports fixed-width periods 'day' and 'week', "
+        f"not {period!r} (month/year bins are calendar-variable)")
 
 
 def with_xz2(df: DataFrame, xmin_col: str, ymin_col: str, xmax_col: str,
@@ -111,13 +130,14 @@ def xz3_query_predicate(bbox: tuple, interval_ms: tuple[int, int],
     query-planning side of XZ3IndexKeySpace.getRanges.
     """
     sfc = XZ3SFC(g, period=period)
+    period_ms, off_div = _fixed_period(period)
     xmin, ymin, xmax, ymax = bbox
     lo_ms, hi_ms = interval_ms
     preds = []
-    b0, b1 = lo_ms // WEEK_MS, hi_ms // WEEK_MS
+    b0, b1 = lo_ms // period_ms, hi_ms // period_ms
     for b in range(int(b0), int(b1) + 1):
-        zlo = max(lo_ms - b * WEEK_MS, 0) / 1000.0
-        zhi = min(hi_ms - b * WEEK_MS, WEEK_MS) / 1000.0
+        zlo = max(lo_ms - b * period_ms, 0) / off_div
+        zhi = min(hi_ms - b * period_ms, period_ms) / off_div
         ranges = sfc.ranges([(xmin, ymin, zlo, xmax, ymax, zhi)],
                             max_ranges=max_ranges)
         rng_pred = reduce(lambda a, c: a | c,
@@ -129,7 +149,8 @@ def xz3_query_predicate(bbox: tuple, interval_ms: tuple[int, int],
 def xz3_bbox_during(df: DataFrame, bbox: tuple, interval: tuple[str, str],
                     xmin_col: str = "xmin", ymin_col: str = "ymin",
                     xmax_col: str = "xmax", ymax_col: str = "ymax",
-                    ts_col: str = "ts", g: int = DEFAULT_G) -> DataFrame:
+                    ts_col: str = "ts", g: int = DEFAULT_G,
+                    period: str = "week") -> DataFrame:
     """Footprints intersecting ``bbox`` during ``interval``.
 
     XZ3 prefilter (range predicate on the index columns -> file skipping on
@@ -137,10 +158,12 @@ def xz3_bbox_during(df: DataFrame, bbox: tuple, interval: tuple[str, str],
     """
     import datetime as dt
 
-    indexed = with_xz3(df, xmin_col, ymin_col, xmax_col, ymax_col, ts_col, g=g)
+    indexed = with_xz3(df, xmin_col, ymin_col, xmax_col, ymax_col, ts_col,
+                       g=g, period=period)
     to_ms = (lambda s: int(dt.datetime.fromisoformat(s)
                            .replace(tzinfo=dt.timezone.utc).timestamp() * 1000))
-    pre = xz3_query_predicate(bbox, (to_ms(interval[0]), to_ms(interval[1])), g=g)
+    pre = xz3_query_predicate(bbox, (to_ms(interval[0]), to_ms(interval[1])),
+                              g=g, period=period)
     qxmin, qymin, qxmax, qymax = bbox
     exact = ((F.col(xmax_col) >= qxmin) & (F.col(xmin_col) <= qxmax)
              & (F.col(ymax_col) >= qymin) & (F.col(ymin_col) <= qymax)

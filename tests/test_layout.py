@@ -627,3 +627,36 @@ class TestS2SpatialIndex:
         vals = sorted(r.derived for r in q.apply(s2_indexed).collect())
         assert len(vals) == 4
         assert all(re.fullmatch(r"myname\d", v) for v in vals)
+
+
+class TestXZ3DayPeriod:
+    """with_xz3 period handling: the reference's per-period offset
+    precision (BinnedTime: day offsets in millis, week in seconds) must
+    agree between the write-side column and the z-axis bounds; daily bins
+    must answer cross-bin queries exactly, and calendar-variable periods
+    are rejected rather than silently mis-binned."""
+
+    def test_day_period_exact_results(self, spark):
+        from geomesa_spark.operators.footprints import xz3_bbox_during
+        rows = [(i, f"2020-12-{7 + (i % 3)} {i % 24:02d}:30:00",
+                 40.0 + i, 60.0, 40.0 + i, 61.0) for i in range(12)]
+        df = (spark.createDataFrame(
+            rows, "fid long, ts string, xmin double, ymin double, "
+                  "xmax double, ymax double")
+            .withColumn("ts", F.to_timestamp("ts")))
+        # window spanning two day-bins
+        got = sorted(r.fid for r in xz3_bbox_during(
+            df, (39, 59, 60, 62),
+            ("2020-12-07 00:00:00", "2020-12-08 23:59:59"),
+            period="day").collect())
+        want = sorted(i for i in range(12) if (i % 3) in (0, 1))
+        assert got == want
+
+    def test_calendar_periods_rejected(self, spark):
+        from geomesa_spark.operators.footprints import with_xz3
+        df = spark.range(1).selectExpr(
+            "0.0 xmin", "0.0 ymin", "1.0 xmax", "1.0 ymax",
+            "timestamp('2020-01-01') ts")
+        with pytest.raises(ValueError, match="fixed-width"):
+            with_xz3(df, "xmin", "ymin", "xmax", "ymax", "ts",
+                     period="month")
