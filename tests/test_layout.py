@@ -660,3 +660,50 @@ class TestXZ3DayPeriod:
         with pytest.raises(ValueError, match="fixed-width"):
             with_xz3(df, "xmin", "ymin", "xmax", "ymax", "ts",
                      period="month")
+
+
+class TestPredicatePushdown:
+    """SparkSQLDataTest pushdown assertions (geomesa-spark-sql .../
+    SparkSQLDataTest.scala:217-346) re-expressed for the parquet layout:
+    attribute comparisons, IN lists, and timestamp filters must reach the
+    scan as PushedFilters; a UDF (st_*) predicate must not prevent the
+    non-UDF conjuncts from pushing down."""
+
+    @pytest.fixture(scope="class")
+    def indexed(self, spark, sf_dir, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("pushdown") / "ev")
+        write_indexed(geo_events(spark, sf_dir), path, period="day",
+                      id_col="event_id")
+        return read_indexed(spark, path)
+
+    @staticmethod
+    def _pushed(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        return plan.split("PushedFilters")[1][:400]
+
+    def test_comparison_pushdown(self, indexed):
+        pushed = self._pushed(indexed.where(F.col("value") > 500.0))
+        assert "value" in pushed and "GreaterThan" in pushed
+
+    def test_in_list_pushdown(self, indexed):
+        pushed = self._pushed(
+            indexed.where(F.col("event_type").isin("a", "b", "c")))
+        assert "event_type" in pushed and "In" in pushed
+
+    def test_timestamp_pushdown(self, indexed):
+        pushed = self._pushed(indexed.where(
+            F.col("ts").between("2024-01-01", "2024-01-08")))
+        assert "ts" in pushed
+
+    def test_udf_conjunct_does_not_block_pushdown(self, spark, indexed):
+        # st_* predicates evaluate post-scan (python/JVM UDF), but the
+        # native conjuncts alongside them must still push down
+        from geomesa_spark.functions.st_functions import register
+        register(spark)
+        df = indexed.where(
+            (F.col("value") > 500.0)
+            & F.expr("st_contains(st_geomFromWKT('POLYGON ((40 20, 50 20, "
+                     "50 30, 40 30, 40 20))'), st_makePoint(lon, lat))"))
+        pushed = self._pushed(df)
+        assert "value" in pushed and "GreaterThan" in pushed
