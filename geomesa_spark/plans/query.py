@@ -69,7 +69,9 @@ class SpatialQuery:
     """Declarative spatio-temporal query over a point table.
 
     Attributes mirror the reference's Query(typeName, filter, properties):
-    ``geometry`` is INTERSECTS, ``bbox`` is BBOX, ``interval`` is DURING,
+    ``geometry`` is INTERSECTS, ``bbox`` is BBOX, ``interval`` is an
+    INCLUSIVE ``ts BETWEEN lo AND hi`` (the ECQL compiler's DURING stays
+    exclusive per the spec — use it when strict bounds matter),
     ``where`` is any residual attribute predicate (SQL), ``select`` is the
     projection (transform), ``limit`` is maxFeatures.
     """
