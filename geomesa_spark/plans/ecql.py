@@ -344,15 +344,17 @@ class EcqlParser:
             begin, end = int(args[1]), int(args[2])
             return F.substring(col(args[0]), begin + 1, end - begin)
         if n == "strReplace":
-            c, search, repl = col(args[0]), str(args[1]), str(args[2])
+            # geotools strReplace is REGEX-based (String.replaceAll /
+            # replaceFirst); Spark's regexp_replace shares Java regex
+            # semantics.  First-occurrence-only: anchor the pattern behind
+            # a non-greedy DOTALL prefix capture.
+            c, pat, repl = col(args[0]), str(args[1]), str(args[2])
             replace_all = str(args[3]).lower() in ("true", "1")
+            esc = repl.replace("\\", "\\\\").replace("$", r"\$")
             if replace_all:
-                return F.replace(c, F.lit(search), F.lit(repl))
-            # first occurrence only
-            pos = F.locate(search, c)
-            return F.when(pos == 0, c).otherwise(F.concat(
-                c.substr(F.lit(1), pos - 1), F.lit(repl),
-                c.substr(pos + len(search), F.length(c))))
+                return F.regexp_replace(c, pat, esc)
+            return F.regexp_replace(c, f"(?s)^((?:.)*?)(?:{pat})",
+                                    "$1" + esc)
         if n == "abs":
             return F.abs(col(args[0]))
         if n == "ceil":

@@ -304,3 +304,23 @@ def test_local_evaluator_supports_new_operators(spark, fixture):
                  .select("__fid__").collect()}
         want = set(local_filter(ecql, pdf)["__fid__"])
         assert got == want, ecql
+
+
+def test_str_replace_regex_semantics(spark):
+    """geotools strReplace is regex-based (String.replaceAll/replaceFirst):
+    patterns are Java regexes, and the all=false form replaces only the
+    FIRST occurrence."""
+    df = spark.createDataFrame([("abcabc",), ("a1b2c3",)], "s string")
+    from geomesa_spark.plans.ecql import EcqlParser
+    def apply_fn(args):
+        return EcqlParser._apply_fn("strReplace", args)
+    rows = df.select(
+        apply_fn([F.col("s"), "b", "X", "true"]).alias("all_lit"),
+        apply_fn([F.col("s"), "b", "X", "false"]).alias("first_lit"),
+        apply_fn([F.col("s"), "[0-9]", "#", "true"]).alias("all_re"),
+        apply_fn([F.col("s"), "[0-9]", "#", "false"]).alias("first_re"),
+    ).collect()
+    assert [r.all_lit for r in rows] == ["aXcaXc", "a1X2c3"]
+    assert [r.first_lit for r in rows] == ["aXcabc", "a1X2c3"]
+    assert [r.all_re for r in rows] == ["abcabc", "a#b#c#"]
+    assert [r.first_re for r in rows] == ["abcabc", "a#b2c3"]
