@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from geomesa_spark.cells.xz3 import XZ3SFC
-from geomesa_spark.cells.z3 import BinnedTime, WEEK_MS
+from geomesa_spark.cells.z3 import WEEK_MS
 
 DEFAULT_G = 12
 
