@@ -707,3 +707,34 @@ class TestPredicatePushdown:
                      "50 30, 40 30, 40 20))'), st_makePoint(lon, lat))"))
         pushed = self._pushed(df)
         assert "value" in pushed and "GreaterThan" in pushed
+
+
+@pytest.mark.parametrize("period", ["day", "week"])
+def test_xz3_random_exactness(spark, period):
+    """Randomized cover-property check for both fixed-width periods: the
+    XZ3 prefilter + exact recheck must equal the brute-force filter on
+    random footprints and a random-ish query window (seeded)."""
+    import random
+    from geomesa_spark.operators.footprints import xz3_bbox_during
+    r = random.Random(42)
+    rows = []
+    for i in range(300):
+        x = r.uniform(-170, 160)
+        y = r.uniform(-80, 70)
+        day = r.randint(1, 27)
+        rows.append((i, f"2021-03-{day:02d} {r.randint(0, 23):02d}:15:00",
+                     x, y, x + r.uniform(0, 8), y + r.uniform(0, 8)))
+    df = (spark.createDataFrame(
+        rows, "fid long, ts string, xmin double, ymin double, "
+              "xmax double, ymax double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    bbox = (-40.0, -30.0, 25.0, 35.0)
+    lo, hi = "2021-03-05 12:00:00", "2021-03-19 06:00:00"
+    got = sorted(r_.fid for r_ in xz3_bbox_during(
+        df, bbox, (lo, hi), period=period).collect())
+    want = sorted(
+        i for i, (fid, ts, xmin, ymin, xmax, ymax) in enumerate(rows)
+        if xmax >= bbox[0] and xmin <= bbox[2]
+        and ymax >= bbox[1] and ymin <= bbox[3]
+        and lo <= ts <= hi)
+    assert got == want
