@@ -738,3 +738,27 @@ def test_xz3_random_exactness(spark, period):
         and ymax >= bbox[1] and ymin <= bbox[3]
         and lo <= ts <= hi)
     assert got == want
+
+
+def test_s2_pruning_random_exactness(spark, tmp_path_factory):
+    """Randomized cover-property check for SpatialQuery's s2 range
+    pruning: pruned scan + exact lon/lat recheck must equal the plain
+    bbox filter on random points (seeded)."""
+    import random
+    from geomesa_spark.plans.query import SpatialQuery
+    r = random.Random(7)
+    rows = [(i, r.uniform(-179, 179), r.uniform(-85, 85),
+             f"2022-06-{r.randint(1, 28):02d} 12:00:00")
+            for i in range(500)]
+    df = (spark.createDataFrame(
+        rows, "fid long, lon double, lat double, ts string")
+        .withColumn("ts", F.to_timestamp("ts")))
+    path = str(tmp_path_factory.mktemp("s2rand") / "pts")
+    write_indexed(df, path, period="week", id_col="fid", cell="s2")
+    indexed = read_indexed(spark, path)
+    bbox = (-60.0, -20.0, 45.0, 55.0)
+    q = SpatialQuery(bbox=bbox, s2_col="s2")
+    got = sorted(r_.fid for r_ in q.apply(indexed).select("fid").collect())
+    want = sorted(i for i, (fid, lon, lat, ts) in enumerate(rows)
+                  if bbox[0] <= lon <= bbox[2] and bbox[1] <= lat <= bbox[3])
+    assert got == want
