@@ -153,13 +153,18 @@ def main() -> None:
             best = time_query(fn, 1, best)
         q_times[name] = round(best, 3)
 
-    # end-of-session outlier pass: any query that still looks expensive gets
-    # one more rep AFTER the session's interference window has passed — a
-    # transient storm at minute M cannot poison the recorded figure, while a
-    # genuinely expensive query just reproduces its time
-    retimed = [n for n, t in q_times.items() if t > 2.0]
-    for name in retimed:
+    # end-of-session re-time pass: EVERY query gets one more rep after the
+    # session's interference window has passed, so the published
+    # min-of-reps follows the SAME protocol for fast and slow queries (the
+    # r4 version re-timed only >2s queries — a one-sided rule that favored
+    # slow queries; ADVICE r4).  A transient storm at minute M still cannot
+    # poison the figure, a genuinely expensive query just reproduces its
+    # time, and the first-pass values are published for audit.
+    first_pass = dict(q_times)
+    for name in sorted(queries):
         q_times[name] = round(time_query(queries[name], 1, q_times[name]), 3)
+    retimed = sorted(n for n in q_times
+                     if first_pass[n] - q_times[n] > max(0.1 * first_pass[n], 0.05))
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     scaling = {}
@@ -190,7 +195,8 @@ def main() -> None:
         "pyramid_pixels": n_tiles,
         "cpus": CPUS,
         "steal_retries": steal_retries,
-        "outliers_retimed": retimed,
+        "retime_pass": "all",
+        "retime_improved": {n: first_pass[n] for n in retimed},
         "headline_steal_pct": headline_steal,
         **scaling,
     }))

@@ -294,10 +294,10 @@ t AS (SELECT tx, ty, max(cnt) AS vmax, count(*) AS n_px
       FROM pix GROUP BY tx, ty)
 SELECT 3 AS zoom, p.tx, p.ty, cast(t.n_px as int) AS n_px,
        cast(t.vmax as bigint) AS vmax_l,
-       sum(cast(floor(p.cnt / t.vmax * 255.0) as bigint)
-           * ((p.px * 1315423911::BIGINT + p.py * 2654435761::BIGINT)
-              % 1000000007))
-         % 1000000007 AS pix_check
+       cast(sum(cast(floor(p.cnt / t.vmax * 255.0) as bigint)
+                * ((p.px * 1315423911::BIGINT + p.py * 2654435761::BIGINT)
+                   % 1000000007))
+              % 1000000007 as bigint) AS pix_check
 FROM pix p JOIN t USING (tx, ty)
 GROUP BY p.tx, p.ty, t.n_px, t.vmax
 """

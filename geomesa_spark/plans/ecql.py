@@ -75,6 +75,58 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
 M_PER_DEG = 111_195.0  # spherical meters per degree of latitude
 
 
+def _java_regex_has_backref(pat: str) -> bool:
+    """True when a Java regex contains a group backreference ``\\n``.
+
+    Walked char-by-char so escaped backslashes are handled (``\\\\1`` is a
+    literal backslash then '1', not a backreference); ``\\0`` is an octal
+    escape, not a backreference."""
+    i = 0
+    while i < len(pat):
+        if pat[i] == "\\" and i + 1 < len(pat):
+            if pat[i + 1].isdigit() and pat[i + 1] != "0":
+                return True
+            i += 2
+            continue
+        i += 1
+    return False
+
+
+def _shift_dollar_refs(repl: str) -> str:
+    """Renumber ``$n`` group references in a Java Matcher replacement by +1
+    (the strReplace first-occurrence rewrite injects a prefix group that
+    becomes group 1).  ``\\$``/``\\\\`` escapes pass through untouched; a
+    bare ``$`` is an error in Java too; ``$0`` (the whole match) cannot be
+    shifted because the rewritten match includes the injected prefix."""
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "\\" and i + 1 < len(repl):
+            out.append(repl[i:i + 2])
+            i += 2
+            continue
+        if ch == "$":
+            j = i + 1
+            while j < len(repl) and repl[j].isdigit():
+                j += 1
+            if j == i + 1:
+                raise ValueError(
+                    f"strReplace replacement has a dangling '$': {repl!r}")
+            num = int(repl[i + 1:j])
+            if num == 0:
+                raise ValueError(
+                    "strReplace(..., false): $0 (whole-match reference) is "
+                    "unsupported — the rewritten match includes the "
+                    "injected anchor prefix")
+            out.append(f"${num + 1}")
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 @dataclass
 class EcqlContext:
     geom_col: str = "geom"        # WKB geometry column
@@ -331,30 +383,52 @@ class EcqlParser:
         if n == "strLength":
             return F.length(col(args[0]))
         if n == "strIndexOf":
-            # geotools returns the 0-based index, -1 when absent
-            return F.locate(str(args[1]), col(args[0])) - 1
+            # geotools returns the 0-based index, -1 when absent; geotools
+            # allows any expression as the needle, so route Column needles
+            # through the SQL locate function (F.locate only takes str)
+            sub = args[1]
+            if isinstance(sub, Column):
+                return F.call_function("locate", sub, col(args[0])) - 1
+            return F.locate(str(sub), col(args[0])) - 1
         if n == "strStartsWith":
-            return col(args[0]).startswith(str(args[1]))
+            return col(args[0]).startswith(
+                args[1] if isinstance(args[1], Column) else str(args[1]))
         if n == "strEndsWith":
-            return col(args[0]).endswith(str(args[1]))
+            return col(args[0]).endswith(
+                args[1] if isinstance(args[1], Column) else str(args[1]))
         if n == "strEqualsIgnoreCase":
             return F.upper(col(args[0])) == F.upper(col(args[1]))
         if n == "strSubstring":
             # geotools: [begin, end) 0-based -> substring is 1-based + length
-            begin, end = int(args[1]), int(args[2])
+            b, e = args[1], args[2]
+            if isinstance(b, Column) or isinstance(e, Column):
+                bc, ec = col(b).cast("int"), col(e).cast("int")
+                return F.substring(col(args[0]), bc + F.lit(1), ec - bc)
+            begin, end = int(b), int(e)
             return F.substring(col(args[0]), begin + 1, end - begin)
         if n == "strReplace":
-            # geotools strReplace is REGEX-based (String.replaceAll /
-            # replaceFirst); Spark's regexp_replace shares Java regex
-            # semantics.  First-occurrence-only: anchor the pattern behind
-            # a non-greedy DOTALL prefix capture.
+            # geotools strReplace delegates to Java String.replaceAll /
+            # replaceFirst (FilterFunction_strReplace): the pattern is a
+            # Java regex and the REPLACEMENT follows java.util.regex.Matcher
+            # semantics ($n group references, backslash escapes).  Spark's
+            # regexp_replace shares those semantics exactly, so the
+            # replace-all form passes both through verbatim.
             c, pat, repl = col(args[0]), str(args[1]), str(args[2])
             replace_all = str(args[3]).lower() in ("true", "1")
-            esc = repl.replace("\\", "\\\\").replace("$", r"\$")
             if replace_all:
-                return F.regexp_replace(c, pat, esc)
+                return F.regexp_replace(c, pat, repl)
+            # First-occurrence-only: anchor the pattern behind a non-greedy
+            # DOTALL prefix capture.  The injected group shifts every
+            # capture-group number by one, so $n in the replacement is
+            # renumbered to $(n+1); a pattern carrying its own backreference
+            # (\1) would silently re-bind to the prefix group -> loud error.
+            if _java_regex_has_backref(pat):
+                raise ValueError(
+                    "strReplace(..., false): pattern backreferences (\\n) "
+                    "are unsupported — the first-occurrence rewrite injects "
+                    f"a prefix capture group that shifts their binding: {pat!r}")
             return F.regexp_replace(c, f"(?s)^((?:.)*?)(?:{pat})",
-                                    "$1" + esc)
+                                    "$1" + _shift_dollar_refs(repl))
         if n == "abs":
             return F.abs(col(args[0]))
         if n == "ceil":

@@ -38,6 +38,23 @@ def assert_frames_match(got: pd.DataFrame, want: pd.DataFrame,
             f"{name}: columns {list(got.columns)} != {list(want.columns)}")
     if len(got) != len(want):
         raise AssertionError(f"{name}: rows {len(got)} != {len(want)}")
+    # HARD-FAIL on int-vs-float dtype mismatch BEFORE any tolerance branch.
+    # The driver hashes raw values, so int64 494788013 vs float64 494788013.0
+    # is a driver failure even though the values are numerically identical
+    # (this exact class escaped the local gate in rounds 3 AND 4 — DuckDB
+    # HUGEINT/DECIMAL outputs materialize as float64 in pandas).
+    for c in got.columns:
+        g_int = pd.api.types.is_integer_dtype(got[c])
+        w_int = pd.api.types.is_integer_dtype(want[c])
+        g_flt = pd.api.types.is_float_dtype(got[c])
+        w_flt = pd.api.types.is_float_dtype(want[c])
+        if (g_int and w_flt) or (g_flt and w_int):
+            raise AssertionError(
+                f"{name}: column {c!r}: dtype KIND mismatch — got "
+                f"{got[c].dtype}, want {want[c].dtype}. The driver's exact "
+                f"hash fails on int-vs-float even when values are equal; "
+                f"if the oracle side is float, the SQL likely returns "
+                f"HUGEINT/DECIMAL (e.g. sum(BIGINT)) — cast it to BIGINT.")
     float_cols = [c for c in got.columns
                   if pd.api.types.is_float_dtype(got[c])
                   or pd.api.types.is_float_dtype(want[c])]

@@ -324,3 +324,58 @@ def test_str_replace_regex_semantics(spark):
     assert [r.first_lit for r in rows] == ["aXcabc", "a1X2c3"]
     assert [r.all_re for r in rows] == ["abcabc", "a#b#c#"]
     assert [r.first_re for r in rows] == ["abcabc", "a#b2c3"]
+
+
+def test_str_replace_group_references(spark):
+    """Java Matcher replacement semantics: $n group references work in the
+    replace-all form verbatim, and are renumbered (+1 past the injected
+    anchor group) in the replace-first form; unsupported shapes fail loud
+    instead of silently mis-binding (ADVICE r4)."""
+    import pytest
+    from geomesa_spark.plans.ecql import EcqlParser
+    df = spark.createDataFrame([("abcabc",)], "s string")
+    rows = df.select(
+        EcqlParser._apply_fn(
+            "strReplace", [F.col("s"), "(b)(c)", "$2$1", "true"]).alias("swap_all"),
+        EcqlParser._apply_fn(
+            "strReplace", [F.col("s"), "(b)(c)", "[$1]", "false"]).alias("grp_first"),
+        EcqlParser._apply_fn(
+            "strReplace", [F.col("s"), "b", r"\$x", "true"]).alias("esc_dollar"),
+    ).collect()
+    assert rows[0].swap_all == "acbacb"
+    assert rows[0].grp_first == "a[b]abc"
+    assert rows[0].esc_dollar == "a$xca$xc"
+    # pattern backreference in replace-first: would re-bind \1 to the
+    # injected prefix group -> must refuse
+    with pytest.raises(ValueError, match="backreferences"):
+        EcqlParser._apply_fn("strReplace", [F.col("s"), r"(a)\1", "x", "false"])
+    # $0 cannot be shifted in replace-first
+    with pytest.raises(ValueError, match=r"\$0"):
+        EcqlParser._apply_fn("strReplace", [F.col("s"), "b", "<$0>", "false"])
+    # dangling $ is an error in Java Matcher too
+    with pytest.raises(ValueError, match="dangling"):
+        EcqlParser._apply_fn("strReplace", [F.col("s"), "b", "x$", "false"])
+
+
+def test_str_functions_accept_column_arguments(spark):
+    """geotools allows expressions in ANY function argument: strIndexOf /
+    strStartsWith / strEndsWith / strSubstring with Column needles or
+    bounds must compile to real expressions, not str(Column) garbage
+    (ADVICE r4)."""
+    from geomesa_spark.plans.ecql import EcqlParser
+    df = spark.createDataFrame([("hello", "ell", 1, 4)],
+                               "s string, sub string, b int, e int")
+    rows = df.select(
+        EcqlParser._apply_fn(
+            "strIndexOf", [F.col("s"), F.col("sub")]).alias("idx"),
+        EcqlParser._apply_fn(
+            "strStartsWith", [F.col("s"), F.col("sub")]).alias("sw"),
+        EcqlParser._apply_fn(
+            "strEndsWith", [F.col("s"), F.lit("llo")]).alias("ew"),
+        EcqlParser._apply_fn(
+            "strSubstring", [F.col("s"), F.col("b"), F.col("e")]).alias("sub3"),
+    ).collect()
+    assert rows[0].idx == 1
+    assert rows[0].sw is False
+    assert rows[0].ew is True
+    assert rows[0].sub3 == "ell"
