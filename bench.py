@@ -166,6 +166,12 @@ def main() -> None:
     retimed = sorted(n for n in q_times
                      if first_pass[n] - q_times[n] > max(0.1 * first_pass[n], 0.05))
 
+    # stage attribution for the heaviest aggregate row: simhash_dedup hides
+    # a signature write + three operators; publish their individual seconds
+    # so a regression in any one stage is visible round-over-round
+    from geomesa_spark.entry_queries_pipeline import simhash_dedup_stage_times
+    simhash_stages = simhash_dedup_stage_times(spark, SF_DIR)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     scaling = {}
     try:
@@ -197,6 +203,7 @@ def main() -> None:
         "steal_retries": steal_retries,
         "retime_pass": "all",
         "retime_improved": {n: first_pass[n] for n in retimed},
+        "simhash_dedup_stages": simhash_stages,
         "headline_steal_pct": headline_steal,
         **scaling,
     }))

@@ -445,6 +445,40 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 neg1.alias("hamming"))))
 
 
+def simhash_dedup_stage_times(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-stage wall seconds for the simhash_dedup driver row: signature
+    write, band-join pair generation, greedy sweep, CC loop.
+
+    Bench attribution only (VERDICT r4 #5): the aggregate row is the
+    heaviest driver entry and hides three operators plus a write pass — a
+    regression in any one would be invisible inside the total.  Stages run
+    sequentially on the SAME artifacts the real query uses (the pair set is
+    persisted between its consumers, exactly like q_simhash_dedup)."""
+    import time
+
+    from geomesa_spark.sources import sigtable
+
+    out: dict[str, float] = {}
+    corpus = docsrc.corpus(spark, sf_dir)
+    t0 = time.time()
+    sig = sigtable.materialize(
+        dedup.simhash(corpus, bits=60, mix=True),
+        cache_path("simhash_sigs", sf_dir), sort_cols=["doc_id"])
+    out["sig_write"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    pairs = dedup.simhash_pairs_from_sigs(sig, max_hamming=3).persist()
+    pairs.count()
+    out["pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup.dedup_keep_canonical(corpus, pairs).select("doc_id").count()
+    out["sweep"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup.connected_components(pairs).count()
+    out["cc"] = round(time.time() - t0, 3)
+    pairs.unpersist()
+    return out
+
+
 _Q_SIMHASH_PAIRS_SQL = f"""
 {CORPUS},
 tk AS (

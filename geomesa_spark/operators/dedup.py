@@ -247,11 +247,6 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     signed 64-bit value on BOTH engines (DuckDB sums to HUGEINT, Spark
     wraps — bit 63 would diverge).
     """
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"banding with {bands} bands only guarantees recall for "
-            f"hamming <= {bands - 1}")
-    width = sig_bits // bands
     sig = simhash(df, id_col, text_col, bits=sig_bits, mix=True)
     if sig_path is not None:
         # write-time signature table: both sides of the band self-join
@@ -259,6 +254,22 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
         # re-executing the tokenize + bit-vote lineage
         from geomesa_spark.sources import sigtable
         sig = sigtable.materialize(sig, sig_path, sort_cols=[id_col])
+    return simhash_pairs_from_sigs(sig, max_hamming=max_hamming,
+                                   id_col=id_col, bands=bands,
+                                   sig_bits=sig_bits)
+
+
+def simhash_pairs_from_sigs(sig: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id", bands: int = 4,
+                            sig_bits: int = 60) -> DataFrame:
+    """Banding + verify over a precomputed ``(id, simhash)`` table — the
+    query-time half of ``simhash_pairs``, split out so a deployment (and the
+    bench's stage attribution) can reuse a write-time signature table."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding with {bands} bands only guarantees recall for "
+            f"hamming <= {bands - 1}")
+    width = sig_bits // bands
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.shiftright("simhash", b * width)
@@ -373,3 +384,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                                   F.col("v").alias("cluster_id")))
               .distinct())
     return labels
+
+
+def cluster_labels(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 25) -> DataFrame:
+    """TOTAL duplicate-cluster labeling: one row per corpus document with
+    ``(node_id, cluster_id)`` where cluster_id is the component's minimum
+    doc id and every unpaired document labels itself.
+
+    This is the shape downstream keep/canonicalize policies join on (keep
+    ``node_id == cluster_id``, canonicalize captions per cluster_id, count
+    cluster sizes) — ``connected_components`` alone labels only the nodes
+    that appear in ``pairs``, so each caller previously re-derived the
+    singleton append.  Cost on top of the CC loop: one left-anti join on
+    the corpus id (broadcast-able when the paired-node set is small, which
+    at real dup rates it is).
+    """
+    labeled = connected_components(pairs, id_a, id_b, max_iters)
+    ids = df.select(F.col(id_col).cast("long").alias("node_id"))
+    singles = (ids.join(labeled.select("node_id"), "node_id", "left_anti")
+               .select("node_id", F.col("node_id").alias("cluster_id")))
+    return labeled.union(singles)

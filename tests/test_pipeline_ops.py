@@ -313,3 +313,36 @@ def test_connected_components_random_matches_union_find(spark):
     want = _uf_components(edges)
     got = _cc_spark(spark, edges)
     assert got == want
+
+
+def _cluster_labels(spark, corpus_ids, edges):
+    corpus = spark.createDataFrame([(i,) for i in corpus_ids], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = dedup.cluster_labels(corpus, pairs).collect()
+    labels = {r["node_id"]: r["cluster_id"] for r in got}
+    assert len(labels) == len(got), "duplicate node labels"
+    return labels
+
+
+def test_cluster_labels_singletons_chain_hub(spark):
+    """Total labeling: every corpus doc gets exactly one row — paired docs
+    take the component min, unpaired docs label themselves. Shapes: a
+    chain (diameter stress), a hub (degree stress), and pure singletons."""
+    chain = [(i, i + 1) for i in range(10, 18)]          # docs 10..18
+    hub = [(50, x) for x in range(51, 60)]               # star on 50..59
+    corpus_ids = list(range(0, 5)) + list(range(10, 19)) + list(range(50, 60))
+    labels = _cluster_labels(spark, corpus_ids, chain + hub)
+    want = {i: i for i in range(0, 5)}                   # singletons
+    want |= {i: 10 for i in range(10, 19)}               # chain -> min 10
+    want |= {i: 50 for i in range(50, 60)}               # hub -> min 50
+    assert labels == want
+    # keep-policy shape: one canonical doc per cluster
+    keep = {n for n, c in labels.items() if n == c}
+    assert keep == {0, 1, 2, 3, 4, 10, 50}
+
+
+def test_cluster_labels_no_pairs(spark):
+    """Empty pair set: every doc is its own cluster (the CC loop's zero-edge
+    early exit must not drop the singleton append)."""
+    labels = _cluster_labels(spark, [7, 8, 9], [])
+    assert labels == {7: 7, 8: 8, 9: 9}
