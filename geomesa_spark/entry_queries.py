@@ -105,17 +105,49 @@ WHERE lon BETWEEN 40.0 AND 50.0 AND lat BETWEEN 20.0 AND 30.0
 """
 
 
+POLY_DIAMOND = "POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))"
+
+
 def q_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECTS with a non-rectangular polygon: bbox prefilter + refine."""
+    """INTERSECTS with a non-rectangular polygon, two tagged index paths
+    that must return IDENTICAL rows (the cover property, driver-gated):
+
+    'native' — bbox prefilter + vectorized exact refine (the z2/z3-style
+    plan).  'gh' — a geohash-STRING-keyed layout scanned through the
+    GeohashUtils decomposition (geom/gh_decompose.py, the reference's
+    GeohashUtils.scala:241-409 planning path): decompose_geometry covers
+    the polygon with whole-character cells, cover_predicate compiles them
+    to an OR of prefix matches that Catalyst pushes to the parquet scan as
+    StringStartsWith filters (asserted in test_layout), and the same exact
+    refine trims the boundary cells."""
+    from geomesa_spark.geom.gh_decompose import (cover_predicate,
+                                                 decompose_geometry)
+    from geomesa_spark.sources import layout as lay
+    from geomesa_spark.sources.sigtable import cache_path
+
     df = geo_events(spark, sf_dir)
-    q = SpatialQuery(geometry="POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))")
-    return q.apply(df).select("event_id")
+    q = SpatialQuery(geometry=POLY_DIAMOND)
+    native = q.apply(df).select("event_id")
+
+    path = cache_path("events_gh", sf_dir, kind="layouts")
+    lay.write_indexed(df, path, cell="geohash")
+    indexed = lay.read_indexed(spark, path)
+    cells = decompose_geometry(POLY_DIAMOND, max_size=32)
+    coarse = indexed.where(cover_predicate("gh", cells))
+    gh = SpatialQuery(geometry=POLY_DIAMOND).apply(coarse).select("event_id")
+
+    return (native.select(F.lit("native").alias("path"), "event_id")
+            .unionByName(gh.select(F.lit("gh").alias("path"), "event_id")))
 
 
 Q_POLYGON_FILTER_SQL = f"""
-{GEO}
-SELECT event_id FROM geo
-WHERE abs(lon - 46.0) / 2.0 + abs(lat - 25.0) / 4.0 <= 1.0
+{GEO}, m AS (
+  SELECT event_id FROM geo
+  WHERE abs(lon - 46.0) / 2.0 + abs(lat - 25.0) / 4.0 <= 1.0
+)
+SELECT 'native' AS path, event_id FROM m
+UNION ALL
+SELECT 'gh' AS path, event_id FROM m
 """
 
 

@@ -69,6 +69,38 @@ def z2_col(lon: Column, lat: Column, precision: int = 31) -> Column:
     return split2_col(nx).bitwiseOR(F.shiftleft(split2_col(ny), 1))
 
 
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lon: Column, lat: Column, chars: int = 7) -> Column:
+    """Geohash string of ``chars`` base-32 characters — native Catalyst,
+    bit-identical to functions/geohash.encode (GeoHash binary subdivision
+    == floor-normalize with the upper edge clamped).
+
+    The 5*chars interleaved bits (lon first / MSB) are one asymmetric
+    Morton spread: with an ODD total bit count the lon bits land on even
+    positions, with an EVEN count lon leads on odd positions.  The write-
+    side key for a geohash-prefix layout (GeohashUtils.scala:241-409 feeds
+    the reference's %offset,length#gh index schemas)."""
+    if not (1 <= chars <= 12):
+        raise ValueError("chars must be in [1, 12]")
+    total = 5 * chars
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    nx = _normalize_col(lon, -180.0, 180.0, lon_bits)
+    ny = _normalize_col(lat, -90.0, 90.0, lat_bits)
+    if total % 2:
+        gh = split2_col(nx).bitwiseOR(F.shiftleft(split2_col(ny), 1))
+    else:
+        gh = F.shiftleft(split2_col(nx), 1).bitwiseOR(split2_col(ny))
+    alphabet = F.array(*[F.lit(c) for c in _GH_BASE32])
+    return F.concat(*[
+        F.element_at(alphabet,
+                     (F.shiftright(gh, 5 * (chars - 1 - i))
+                      .bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"))
+        for i in range(chars)])
+
+
 def time_bin_col(ts: Column, period: str = "week") -> Column:
     """Epoch-period bin of a timestamp (BinnedTime.timeToBin semantics)."""
     ts = ts.cast("timestamp")  # parquet TIMESTAMP_NTZ -> TIMESTAMP (UTC session)

@@ -34,6 +34,9 @@ from geomesa_spark.functions.cell_functions import salt_col, time_bin_col, z2_co
 
 MANIFEST = "_manifest.json"
 
+# cell-curve kind -> the key column it writes
+_CELL_COLUMNS = {"z2": "z2", "s2": "s2", "geohash": "gh"}
+
 
 def write_indexed(df: DataFrame, path: str, *, period: str = "week",
                   lon_col: str = "lon", lat_col: str = "lat", ts_col: str = "ts",
@@ -54,8 +57,15 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
     elif cell == "s2":
         from geomesa_spark.functions.cell_functions import s2_col
         out = df.withColumn("s2", s2_col(F.col(lon_col), F.col(lat_col)))
+    elif cell == "geohash":
+        # geohash-STRING key: prefix predicates (StartsWith) push to the
+        # parquet scan and the lexicographic sort equals spatial locality —
+        # the reference's %offset,length#gh index-schema layout
+        from geomesa_spark.functions.cell_functions import geohash_col
+        out = df.withColumn("gh", geohash_col(F.col(lon_col), F.col(lat_col)))
     else:
-        raise ValueError(f"unknown cell curve: {cell!r} (use 'z2' or 's2')")
+        raise ValueError(
+            f"unknown cell curve: {cell!r} (use 'z2', 's2' or 'geohash')")
     if ts_col in df.columns:
         out = out.withColumn("time_bin", time_bin_col(F.col(ts_col), period))
     else:
@@ -65,7 +75,8 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
         out = out.withColumn("salt", salt_col(key, n_salts))
 
     n = target_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    range_cols = ["time_bin", cell] if ts_col in df.columns else [cell]
+    cell_name = _CELL_COLUMNS[cell]
+    range_cols = ["time_bin", cell_name] if ts_col in df.columns else [cell_name]
     out = out.repartitionByRange(n, *[F.col(c) for c in range_cols]) \
              .sortWithinPartitions(*range_cols)
     out.write.mode("overwrite").partitionBy("time_bin").format(fmt).save(path)
@@ -107,7 +118,7 @@ def append_indexed(df: DataFrame, path: str) -> None:
         raise ValueError(
             f"schema evolution is add-only: existing columns {missing} "
             "are absent from the appended frame")
-    out = df.withColumn("z2" if manifest.get("cell", "z2") == "z2" else "s2",
+    out = df.withColumn(_CELL_COLUMNS[manifest.get("cell", "z2")],
                         _cell_expr(manifest, df))
     if manifest["ts_col"] in df.columns:
         out = out.withColumn(
@@ -122,7 +133,7 @@ def append_indexed(df: DataFrame, path: str) -> None:
         key = manifest.get("salt_key") or manifest["lon_col"]
         out = out.withColumn("salt", salt_col(F.col(key),
                                               manifest["n_salts"]))
-    out = out.sortWithinPartitions(manifest.get("cell", "z2"))
+    out = out.sortWithinPartitions(_CELL_COLUMNS[manifest.get("cell", "z2")])
     out.write.mode("append").partitionBy("time_bin") \
         .format(manifest.get("format", "parquet")).save(path)
     new_cols = old_cols + [c for c in df.columns if c not in old_cols]
@@ -169,9 +180,13 @@ def write_bucketed(df: DataFrame, name: str, path: str,
 
 def _cell_expr(manifest: dict, df: DataFrame):
     lon, lat = F.col(manifest["lon_col"]), F.col(manifest["lat_col"])
-    if manifest.get("cell", "z2") == "s2":
+    kind = manifest.get("cell", "z2")
+    if kind == "s2":
         from geomesa_spark.functions.cell_functions import s2_col
         return s2_col(lon, lat)
+    if kind == "geohash":
+        from geomesa_spark.functions.cell_functions import geohash_col
+        return geohash_col(lon, lat)
     return z2_col(lon, lat)
 
 

@@ -139,6 +139,29 @@ class TestSTFunctions:
         g = wkt_loads(row2.pt)
         assert abs(g.x - (-0.1278)) < 0.1 and abs(g.y - 51.5074) < 0.1
 
+    def test_geohash_col_matches_scalar_encoder(self, spark):
+        """Native-Catalyst geohash_col is bit-identical to the scalar
+        reference encoder at every char width (both interleave parities)
+        including the domain corners."""
+        import random
+
+        from geomesa_spark.functions import geohash as ghmod
+        from geomesa_spark.functions.cell_functions import geohash_col
+        rng = random.Random(7)
+        pts = [(rng.uniform(-180, 180), rng.uniform(-90, 90))
+               for _ in range(200)]
+        pts += [(-180.0, -90.0), (180.0, 90.0), (0.0, 0.0),
+                (179.9999999, 89.9999999), (-179.9999999, -89.9999999)]
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        for chars in (1, 4, 7, 12):
+            rows = df.select(
+                "lon", "lat",
+                geohash_col(F.col("lon"), F.col("lat"), chars).alias("gh")
+            ).collect()
+            for r in rows:
+                assert r.gh == ghmod.encode(r.lon, r.lat, 5 * chars), \
+                    (chars, r.lon, r.lat)
+
     def test_buffer_point(self, spark):
         row = spark.sql("""
             SELECT st_intersects(st_bufferPoint(st_makePoint(0.0, 0.0), 100000.0),

@@ -46,6 +46,39 @@ class TestIndexedLayout:
             .queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "z2" in plan.split("PushedFilters")[1][:200]
 
+    def test_geohash_layout_prefix_pushdown(self, spark, sf_dir, tmp_path):
+        """cell='geohash' layout: decompose_geometry's whole-character cells
+        compile to an OR of prefix matches that reaches the parquet scan as
+        pushed StringStartsWith filters (the scan-level file skipping a
+        geohash-keyed index exists for), and the covered scan is a superset
+        of the exact polygon rows."""
+        from geomesa_spark.functions import geohash as ghmod
+        from geomesa_spark.geom.gh_decompose import (cover_predicate,
+                                                     decompose_geometry)
+        path = str(tmp_path / "gh_layout")
+        src = geo_events(spark, sf_dir)
+        write_indexed(src, path, cell="geohash")
+        out = read_indexed(spark, path)
+        assert "gh" in out.columns
+        # the stored key matches the scalar reference encoder
+        r = out.select("lon", "lat", "gh").first()
+        assert r["gh"] == ghmod.encode(r["lon"], r["lat"], 35)
+
+        poly = "POLYGON ((44 25, 46 21, 48 25, 46 29, 44 25))"
+        cells = decompose_geometry(poly, max_size=32)
+        assert all(prec % 5 == 0 for _, prec in cells)  # whole chars
+        pred = cover_predicate("gh", cells)
+        plan = out.where(pred)._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters")[1][:800]
+        assert "StringStartsWith(gh" in pushed
+        # cover property: every exact polygon row survives the coarse scan
+        from geomesa_spark.plans.query import SpatialQuery
+        exact = set(SpatialQuery(geometry=poly).apply(src)
+                    .select("event_id").toPandas()["event_id"])
+        coarse = set(out.where(pred).select("event_id").toPandas()["event_id"])
+        assert exact <= coarse
+
     def test_sorted_within_files(self, spark, indexed_path):
         # z2-sorted files -> row-group stats can skip; check monotone z2 per file
         df = read_indexed(spark, indexed_path).withColumn("f", F.input_file_name())
