@@ -284,11 +284,15 @@ def main() -> None:
         print(json.dumps({k: v for k, v in pairs[-1].items() if k != "raw"}),
               flush=True)
 
-    # headline: the best CLEAN pair — in-phase steal under the gate AND
-    # both calibrations within 1.3x the session's fastest (a disturbed
-    # calibration clamps the ceiling to 1.0 and misstates normalization;
-    # fastest-wall-time selection picked exactly such a pair).  Falls back
-    # to all pairs if none qualify.  Medians over ALL pairs stay primary.
+    # HEADLINE = the MEDIAN raw efficiency across ALL pairs (r4 verdict:
+    # best-clean-pair selection cleared the bar on the happiest sample —
+    # the median is the honest figure for a noisy shared host).  The best
+    # CLEAN pair — in-phase steal under the gate AND both calibrations
+    # within 1.3x the session's fastest (a disturbed calibration clamps
+    # the ceiling to 1.0 and misstates normalization) — is reported
+    # alongside as the interference-free upper estimate, and the
+    # throughput table comes from the MEDIAN pair so rows/sec and the
+    # headline efficiency describe the same measurement.
     min_cal_n = min(p["calib_sec"]["n"] for p in pairs)
     min_cal_4n = min(p["calib_sec"]["4n"] for p in pairs)
     clean = [p for p in pairs
@@ -297,35 +301,40 @@ def main() -> None:
              and p["calib_sec"]["4n"] <= 1.3 * min_cal_4n] or pairs
     best = max(clean, key=lambda p: p["eff_pipeline"])
     med_eff = statistics.median(p["eff_pipeline"] for p in pairs)
+    med_join = statistics.median(p["eff_join"] for p in pairs)
     med_norm = statistics.median(p["eff_pipeline_normalized"] for p in pairs)
+    # median pair: the measured pair whose end-to-end efficiency sits
+    # closest to the median (== the median element for odd pair counts)
+    median_pair = min(pairs, key=lambda p: abs(p["eff_pipeline"] - med_eff))
     def thr(level, key):
-        return args.rows / best[key][level]
-
-    eff_join = best["eff_join"]
-    eff_pipe = best["eff_pipeline"]
-    cpu_ceiling = best["cpu_scaling_ceiling"]
+        return args.rows / median_pair[key][level]
 
     report = {
         "rows": args.rows,
         "n_cores": args.n, "n4_cores": args.n * 4,
+        "headline": f"median across {len(pairs)} pairs "
+                    f"(best clean pair reported separately)",
         "join_rps_n": round(thr("n", "join_sec"), 1),
         "join_rps_4n": round(thr("4n", "join_sec"), 1),
         "pipeline_rps_n": round(thr("n", "pipeline_sec"), 1),
         "pipeline_rps_4n": round(thr("4n", "pipeline_sec"), 1),
-        "scaling_efficiency_join": eff_join,
-        "scaling_efficiency_pipeline": eff_pipe,
-        "cpu_scaling_ceiling": cpu_ceiling,
-        "normalized_efficiency_pipeline": best["eff_pipeline_normalized"],
+        "scaling_efficiency_join": round(med_join, 3),
+        "scaling_efficiency_pipeline": round(med_eff, 3),
+        "cpu_scaling_ceiling": median_pair["cpu_scaling_ceiling"],
+        "normalized_efficiency_pipeline": round(med_norm, 3),
         "median_efficiency_pipeline": round(med_eff, 3),
         "median_normalized_efficiency_pipeline": round(med_norm, 3),
-        "calib_sec": best["calib_sec"],
+        "best_pair_efficiency_join": best["eff_join"],
+        "best_pair_efficiency_pipeline": best["eff_pipeline"],
+        "best_pair_normalized": best["eff_pipeline_normalized"],
+        "calib_sec": median_pair["calib_sec"],
         "pairs": [{k: v for k, v in p.items() if k != "raw"} for p in pairs],
         # the per-run block must come from the SAME pair as the headline:
-        # in --from-json mode the recorded raw belongs to the ORIGINAL best
-        # pair, so keep it only when re-selection lands on that pair again
-        "raw_rep": best["rep"],
-        "raw": (best["raw"] if "raw" in best
-                else (prev_raw if prev_raw_rep == best["rep"] else None))
+        # in --from-json mode the recorded raw belongs to the ORIGINAL
+        # median pair, so keep it only when re-selection lands there again
+        "raw_rep": median_pair["rep"],
+        "raw": (median_pair["raw"] if "raw" in median_pair
+                else (prev_raw if prev_raw_rep == median_pair["rep"] else None))
                or {},
     }
     print(json.dumps(report))
@@ -342,11 +351,15 @@ repetitions, each running calibration + N phase + calibration + 4N phase
 BACK-TO-BACK in fresh JVMs pinned with `taskset` to exactly N / 4N physical
 CPUs (warmup pass excluded; each phase takes min-of-3 full-size runs with a
 System.gc() between reps, to flush residual JIT and heap debt), so every efficiency estimate compares throughputs
-measured under the same-minute host condition.  Headline = the best pair
-among CLEAN pairs (in-phase steal <= 3% at both levels and both pure-CPU
-calibrations within 1.3x the session's fastest — a disturbed calibration
-clamps the ceiling to 1.0 and misstates the normalization); MEDIANS across
-ALL pairs are the primary figure and are reported alongside.  JVM memory is PROPORTIONAL to core count
+measured under the same-minute host condition.  **HEADLINE = the MEDIAN
+efficiency across ALL pairs** (per the r4 verdict: a best-pair headline
+clears the bar on the happiest sample); the best CLEAN pair (in-phase
+steal <= 3% at both levels and both pure-CPU calibrations within 1.3x the
+session's fastest — a disturbed calibration clamps the ceiling to 1.0 and
+misstates the normalization) is reported alongside as the
+interference-free upper estimate, and the throughput table below comes
+from the MEDIAN pair so rows/sec and the headline describe the same
+measurement.  JVM memory is PROPORTIONAL to core count
 (1.5 GiB/core) at both levels — the cluster-size analogy holds executor
 size constant, so a 4N-executor cluster has 4x the total memory.
 
@@ -364,19 +377,21 @@ pathology — 4.5s clean vs 16-49s interleaved at 32c for identical math —
 which would measure the JVM, not the engine) -> tile pyramid zooms
 0/2/4/6/8 @256px.
 
-| parallelism | join rows/sec | join+weight+tiling rows/sec |
+| parallelism (median pair) | join rows/sec | join+weight+tiling rows/sec |
 |---|---|---|
 | local[{args.n}] (N) | {report['join_rps_n']:,.0f} | {report['pipeline_rps_n']:,.0f} |
 | local[{args.n * 4}] (4N) | {report['join_rps_4n']:,.0f} | {report['pipeline_rps_4n']:,.0f} |
 
-**RAW scaling efficiency (join stage): {eff_join:.3f}**
-**RAW scaling efficiency (end-to-end join+weight+tiling): {eff_pipe:.3f}**
-**Host compute-scaling ceiling (pure-CPU calibration, same pair):
+**HEADLINE — median RAW scaling efficiency across all {args.reps} pairs:
+join {report['scaling_efficiency_join']:.3f}, end-to-end
+{report['scaling_efficiency_pipeline']:.3f}; median ceiling-normalized
+end-to-end {report['median_normalized_efficiency_pipeline']:.3f}**
+**Host compute-scaling ceiling (pure-CPU calibration, median pair):
 {report['cpu_scaling_ceiling']:.3f}**
-**Ceiling-normalized end-to-end efficiency:
-{report['normalized_efficiency_pipeline']:.3f}**
-**Across all pairs — median raw: {report['median_efficiency_pipeline']:.3f},
-median normalized: {report['median_normalized_efficiency_pipeline']:.3f}**
+**Best clean pair (interference-free upper estimate): join
+{report['best_pair_efficiency_join']:.3f}, end-to-end
+{report['best_pair_efficiency_pipeline']:.3f}, normalized
+{report['best_pair_normalized']:.3f}**
 
 Per-pair results (each pair measured back-to-back):
 
