@@ -275,6 +275,20 @@ def test_append_salts_by_recorded_key(spark, tmp_path):
     assert all(expect[r.fid] == r.salt for r in got)
 
 
+def test_salt_col_handles_negative_hash_values(spark):
+    """ShardStrategyTest.scala:21-29 semantics: shard assignment must stay
+    valid for keys whose hash is NEGATIVE (the reference test's
+    '1371494157#3638946185' feature id exists because a raw hash % n went
+    out of range).  salt_col uses pmod, so every shard lands in [0, n)."""
+    from geomesa_spark.functions.cell_functions import salt_col
+    ids = ["1371494157#3638946185"] + [f"id{i}" for i in range(200)]
+    df = spark.createDataFrame([(s,) for s in ids], "fid string")
+    rows = df.select("fid", salt_col(F.col("fid"), 60).alias("s"),
+                     F.hash("fid").alias("h")).collect()
+    assert all(0 <= r.s < 60 for r in rows)
+    assert any(r.h < 0 for r in rows)  # negatives actually exercised
+
+
 class TestBucketedJoin:
     """write_bucketed: the shuffle-free co-located join layout (Spark
     bucketBy analog of AttributeJoinIndex's pre-split attribute tables)."""
