@@ -220,6 +220,10 @@ def main() -> None:
     ap.add_argument("--from-json", action="store_true",
                     help="regenerate BENCH/BASELINE.md from the recorded "
                          "BENCH/scaling.json without re-measuring")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue a killed run from BENCH/scaling_partial"
+                         ".json (same --rows/--n required; completed pairs "
+                         "are kept, remaining reps are measured)")
     args = ap.parse_args()
 
     # PAIRED interleaving: every repetition runs calibration + N phase +
@@ -237,7 +241,21 @@ def main() -> None:
         args.rows, args.n = prev["rows"], prev["n_cores"]
         args.reps = len(pairs)
     pairs = pairs if args.from_json else []
-    for rep in range(0 if args.from_json else args.reps):
+    # Checkpoint each completed pair: a measured pair costs 20-50 min of
+    # quiet CPUs, and a timeout/kill between pairs must not lose it (the
+    # final report is only written after ALL reps).
+    partial_path = "BENCH/scaling_partial.json"
+    start = args.reps if args.from_json else 0
+    if args.resume and not args.from_json:
+        try:
+            with open(partial_path) as f:
+                part = json.load(f)
+            if part.get("rows") == args.rows and part.get("n_cores") == args.n:
+                pairs, start = part["pairs"], len(part["pairs"])
+                sys.stderr.write(f"resuming from {start} recorded pairs\n")
+        except (OSError, ValueError):
+            pass
+    for rep in range(start, args.reps):
         # retry a pair ONCE if hypervisor steal during either phase
         # exceeded 3% (same pre-declared gate as wait_quiet and
         # profile_stages' phase retry): in-phase steal slows whichever
@@ -283,6 +301,10 @@ def main() -> None:
         })
         print(json.dumps({k: v for k, v in pairs[-1].items() if k != "raw"}),
               flush=True)
+        os.makedirs("BENCH", exist_ok=True)
+        with open(partial_path, "w") as f:
+            json.dump({"rows": args.rows, "n_cores": args.n,
+                       "pairs": pairs}, f, indent=2)
 
     # HEADLINE = the MEDIAN raw efficiency across ALL pairs (r4 verdict:
     # best-clean-pair selection cleared the bar on the happiest sample —
