@@ -107,3 +107,112 @@ def test_no_floating_point_errors(spark):
     assert len(got) == w  # no two centers merged
     for r in got:
         assert (r.px, r.py) == (int(r.weight), int(r.weight))
+
+
+# ---------------------------------------------------------------------------
+# bresenhamLine ports (GridSnap.scala:95-130, GridSnapTest.scala:82-103)
+
+
+def _scalar_bresenham(x0, y0, x1, y1):
+    """Literal scalar transcription of the reference's walk — Python
+    floats are IEEE float64 like Scala's Double, so this IS the JVM
+    semantics (sequential error accumulation, take(delta) from the
+    seed).  The vectorized engine walk must match it exactly."""
+    dx, dy = abs(x1 - x0), abs(y1 - y0)
+    if dx == 0 and dy == 0:
+        return [(x0, y0)]
+    step_x = 1 if x0 < x1 else -1
+    step_y = 1 if y0 < y1 else -1
+    out, x, y, err = [], x0, y0, 0.0
+    if dx > dy:
+        d_err = dy / dx
+        for _ in range(dx):
+            out.append((x, y))
+            err += d_err
+            if err >= 0.5:
+                err -= 1.0
+                y += step_y
+            x += step_x
+    else:
+        d_err = dx / dy
+        for _ in range(dy):
+            out.append((x, y))
+            err += d_err
+            if err >= 0.5:
+                err -= 1.0
+                x += step_x
+            y += step_y
+    return out
+
+
+def _vector_bresenham_one(x0, y0, x1, y1):
+    from geomesa_spark.operators.tiling import bresenham_pixels
+    seg, i, j = bresenham_pixels([x0], [y0], [x1], [y1])
+    assert set(seg.tolist()) <= {0}
+    return list(zip(i.tolist(), j.tolist()))
+
+
+def test_bresenham_reference_fixture_lengths():
+    """GridSnapTest 'compute a sequence of points between various sets of
+    coordinates': diagonal/vertical/horizontal/inverse walks on a 10x10
+    grid yield 9 cells (the END cell is excluded — the reference's
+    take(delta) quirk), the degenerate walk yields 1."""
+    diag = _vector_bresenham_one(0, 0, 9, 9)
+    assert len(diag) == 9 and diag == [(k, k) for k in range(9)]
+    vert = _vector_bresenham_one(0, 0, 0, 9)
+    assert len(vert) == 9 and vert == [(0, k) for k in range(9)]
+    horiz = _vector_bresenham_one(0, 0, 9, 0)
+    assert len(horiz) == 9 and horiz == [(k, 0) for k in range(9)]
+    assert _vector_bresenham_one(0, 0, 0, 0) == [(0, 0)]
+    inv = _vector_bresenham_one(9, 9, 0, 0)
+    assert len(inv) == 9 and inv == [(9 - k, 9 - k) for k in range(9)]
+
+
+def test_bresenham_matches_scalar_float_walk():
+    """Randomized: the vectorized walk replays the reference's float64
+    error accumulation bit-for-bit (an integer round-half-up closed form
+    would NOT — inexact deltaError doubles drift an increment by a step
+    on some slopes), batched segments vs one-at-a-time scalar runs."""
+    import random
+
+    from geomesa_spark.operators.tiling import bresenham_pixels
+
+    rng = random.Random(1215)
+    segs = [(rng.randrange(0, 300), rng.randrange(0, 300),
+             rng.randrange(0, 300), rng.randrange(0, 300))
+            for _ in range(200)]
+    segs += [(0, 0, 299, 100), (0, 0, 100, 299), (5, 5, 5, 5),
+             (0, 0, 6, 1), (0, 0, 1, 6), (10, 0, 0, 3)]
+    seg, i, j = bresenham_pixels(*(list(c) for c in zip(*segs)))
+    got = {}
+    for s, ii, jj in zip(seg.tolist(), i.tolist(), j.tolist()):
+        got.setdefault(s, []).append((ii, jj))
+    for k, (x0, y0, x1, y1) in enumerate(segs):
+        assert got[k] == _scalar_bresenham(x0, y0, x1, y1), (k, segs[k])
+
+
+def test_density_lines_bresenham_operator(spark):
+    """The Spark operator (snap endpoints to cells, walk, sum weights per
+    pixel) reproduces the scalar reference walk end-to-end, including the
+    endpoint-exclusion and per-pixel weight accumulation across rows."""
+    from collections import Counter
+
+    from geomesa_spark.operators.tiling import density_lines_bresenham
+
+    env = (0.0, 0.0, 10.0, 10.0)
+    w = h = 10  # dx = dy = 1.0: cell index == floor(coordinate)
+    rows = [(0.2, 0.3, 9.9, 9.1, 2.0),   # cells (0,0) -> (9,9)
+            (0.5, 9.5, 9.5, 0.5, 1.0),   # cells (0,9) -> (9,0)
+            (3.1, 3.9, 3.6, 3.2, 4.0),   # same cell both ends
+            (0.0, 0.0, 10.0, 0.0, 1.0)]  # max edge clamps into cell 9
+    df = spark.createDataFrame(rows, "x1 double, y1 double, x2 double, y2 double, w double")
+    got = {(r.px, r.py): r.weight
+           for r in density_lines_bresenham(df, env, w, h, weight="w").collect()}
+
+    expect = Counter()
+    for x1, y1, x2, y2, wt in rows:
+        def cell(v):
+            return min(int(v), 9)
+        for px, py in _scalar_bresenham(cell(x1), cell(y1), cell(x2), cell(y2)):
+            expect[(px, py)] += wt
+    assert got == {k: float(v) for k, v in expect.items()}
