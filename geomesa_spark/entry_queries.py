@@ -130,8 +130,7 @@ def q_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     native = q.apply(df).select("event_id")
 
     path = cache_path("events_gh", sf_dir, kind="layouts")
-    lay.write_indexed(df, path, cell="geohash")
-    indexed = lay.read_indexed(spark, path)
+    indexed = lay.ensure_indexed(df, path, cell="geohash")
     cells = decompose_geometry(POLY_DIAMOND, max_size=32)
     coarse = indexed.where(cover_predicate("gh", cells))
     gh = SpatialQuery(geometry=POLY_DIAMOND).apply(coarse).select("event_id")

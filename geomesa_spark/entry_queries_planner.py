@@ -21,7 +21,7 @@ from geomesa_spark.plans.query import SpatialQuery
 from geomesa_spark.plans.visibility import visibility_filter
 from geomesa_spark.sources import layout as lay
 from geomesa_spark.sources.attr_index import (AttributeIndex,
-                                              write_attribute_index)
+                                              ensure_attribute_index)
 from geomesa_spark.sources.sigtable import cache_path
 from geomesa_spark.sources.testdata import geo_events, geo_events_sql
 
@@ -41,7 +41,7 @@ def q_strategy_z3(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual).  StrategyDecider.scala:73-174 + QueryRunner parity."""
     df = geo_events(spark, sf_dir)
     path = cache_path("events_z2", sf_dir, kind="layouts")
-    lay.write_indexed(df, path, period="week")
+    lay.ensure_indexed(df, path, period="week")
     stats = TableStats.collect(df, ["event_type"], ts_col="ts")
     # the estimator compares against epoch-second time bounds
     import datetime as dt
@@ -81,8 +81,8 @@ def q_strategy_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert strategy.index == "attr:event_type", \
         f"decider chose {strategy.index}"
     path = cache_path("events_attr", sf_dir, kind="layouts")
-    write_attribute_index(events, path, attr="event_type",
-                          id_col="event_id", covered=["user_id"])
+    ensure_attribute_index(events, path, attr="event_type",
+                           id_col="event_id", covered=["user_id"])
     ix = AttributeIndex(spark, path, events)
     cols = ["event_id", "user_id", "value"]       # 'value' is NOT covered
     assert not ix.is_covering(cols)

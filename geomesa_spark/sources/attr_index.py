@@ -47,6 +47,27 @@ def write_attribute_index(df: DataFrame, path: str, *, attr: str,
         {"attr": attr, "id_col": id_col, "covered": cols}))
 
 
+def ensure_attribute_index(df: DataFrame, path: str, *, attr: str,
+                           id_col: str, covered: list[str] | None = None,
+                           target_partitions: int | None = None) -> None:
+    """Write-once secondary index: skip the write when a manifest with the
+    same (attr, id_col, covered-column) shape already exists (the
+    layout.ensure_indexed / write_ivf_index pattern — the index is built at
+    ingest, not per query)."""
+    spark = df.sparkSession
+    cols = [attr, id_col] + [c for c in (covered or [])
+                             if c not in (attr, id_col)]
+    try:
+        meta = json.loads(_read_text(spark, f"{path}/{MANIFEST}"))
+        if (meta.get("attr"), meta.get("id_col"), meta.get("covered")) == \
+                (attr, id_col, cols):
+            return
+    except Exception:
+        pass
+    write_attribute_index(df, path, attr=attr, id_col=id_col,
+                          covered=covered, target_partitions=target_partitions)
+
+
 class AttributeIndex:
     def __init__(self, spark: SparkSession, path: str, primary: DataFrame):
         self.spark = spark

@@ -91,6 +91,38 @@ def write_indexed(df: DataFrame, path: str, *, period: str = "week",
     _write_text(spark, f"{path}/{MANIFEST}", json.dumps(manifest))
 
 
+def ensure_indexed(df: DataFrame, path: str, *, period: str = "week",
+                   lon_col: str = "lon", lat_col: str = "lat",
+                   ts_col: str = "ts", id_col: str | None = None,
+                   n_salts: int = 0, target_partitions: int | None = None,
+                   fmt: str = "parquet", cell: str = "z2") -> DataFrame:
+    """Write-once layout: reuse a previously written indexed table when its
+    manifest matches the requested parameters, (re)write it otherwise.
+
+    The write_ivf_index pattern (operators/ann.py): a deployment builds the
+    layout at ingest and queries only scan it — rebuilding a deterministic
+    layout per query measures the writer, not the query plan.  The manifest
+    check covers every parameter that shapes the table (cell curve, period,
+    salts, format, source columns); same-shaped but different DATA at the
+    same path is the caller's contract, exactly as for the IVF index.
+    """
+    spark = df.sparkSession
+    try:
+        m = read_manifest(spark, path)
+        if (m.get("period"), m.get("cell"), m.get("n_salts"),
+                m.get("format"), m.get("columns"), m.get("lon_col"),
+                m.get("lat_col"), m.get("ts_col")) == \
+                (period, cell, n_salts, fmt, df.columns,
+                 lon_col, lat_col, ts_col):
+            return read_indexed(spark, path)
+    except Exception:
+        pass
+    write_indexed(df, path, period=period, lon_col=lon_col, lat_col=lat_col,
+                  ts_col=ts_col, id_col=id_col, n_salts=n_salts,
+                  target_partitions=target_partitions, fmt=fmt, cell=cell)
+    return read_indexed(spark, path)
+
+
 def read_indexed(spark: SparkSession, path: str) -> DataFrame:
     manifest = read_manifest(spark, path)
     reader = spark.read.format(manifest.get("format", "parquet"))

@@ -809,3 +809,30 @@ def test_s2_pruning_random_exactness(spark, tmp_path_factory):
     want = sorted(i for i, (fid, lon, lat, ts) in enumerate(rows)
                   if bbox[0] <= lon <= bbox[2] and bbox[1] <= lat <= bbox[3])
     assert got == want
+
+
+def test_ensure_indexed_writes_once(spark, tmp_path):
+    """ensure_indexed reuses a layout whose manifest matches the request
+    (write_ivf_index pattern: the layout is built at ingest, not per
+    query) and rewrites when any shaping parameter differs."""
+    import os
+    from geomesa_spark.sources.layout import ensure_indexed
+    df = spark.createDataFrame(
+        [(i, 10.0 + i * 0.01, 20.0, "2024-03-04 00:00:00") for i in range(50)],
+        "event_id long, lon double, lat double, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    path = str(tmp_path / "lay")
+
+    out1 = ensure_indexed(df, path, period="week")
+    t1 = max(os.path.getmtime(os.path.join(r, f))
+             for r, _, fs in os.walk(path) for f in fs)
+    out2 = ensure_indexed(df, path, period="week")   # manifest match -> reuse
+    t2 = max(os.path.getmtime(os.path.join(r, f))
+             for r, _, fs in os.walk(path) for f in fs)
+    assert t2 == t1
+    assert out2.count() == out1.count() == 50
+
+    ensure_indexed(df, path, period="day")           # param change -> rewrite
+    t3 = max(os.path.getmtime(os.path.join(r, f))
+             for r, _, fs in os.walk(path) for f in fs)
+    assert t3 > t1
