@@ -224,6 +224,11 @@ def main() -> None:
                     help="continue a killed run from BENCH/scaling_partial"
                          ".json (same --rows/--n required; completed pairs "
                          "are kept, remaining reps are measured)")
+    ap.add_argument("--finalize-partial", action="store_true",
+                    help="write BENCH/scaling.json + BASELINE.md from the "
+                         "pairs recorded in BENCH/scaling_partial.json "
+                         "without measuring anything (use when a run was "
+                         "cut short but completed >=1 pair)")
     args = ap.parse_args()
 
     # PAIRED interleaving: every repetition runs calibration + N phase +
@@ -246,6 +251,12 @@ def main() -> None:
     # final report is only written after ALL reps).
     partial_path = "BENCH/scaling_partial.json"
     start = args.reps if args.from_json else 0
+    if args.finalize_partial:
+        with open(partial_path) as f:
+            part = json.load(f)
+        pairs = part["pairs"]
+        args.rows, args.n = part["rows"], part["n_cores"]
+        args.reps = start = len(pairs)
     if args.resume and not args.from_json:
         try:
             with open(partial_path) as f:
