@@ -197,16 +197,27 @@ SELECT user_id, cnt, CAST(rnk AS INT) AS rank FROM r WHERE rnk <= 5
 
 
 def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two histogram stats, one tagged driver row.  kind='value': fixed-
+    """Three histogram stats, one tagged driver row.  kind='value': fixed-
     width bins of `value` (the Histogram stat; b1 = bucket, b2 = -1).
-    kind='z3': Z3Histogram — counts keyed by (week bin -> b1, res-4 grid
-    cell -> b2), the reference's spatio-temporal sketch."""
+    kind='binned': the same column through BinnedArray.indexOf semantics
+    (functions/binning.binned_index_col — BinnedArray.scala:195-201
+    equal-width doubles, upper bound folded into the last bin, 16 bins
+    over declared bounds (0, 512)).  kind='z3': Z3Histogram — counts
+    keyed by (week bin -> b1, res-4 grid cell -> b2), the reference's
+    spatio-temporal sketch."""
+    from geomesa_spark.functions.binning import binned_index_col
+
     df = geo_events(spark, sf_dir)
     neg1 = F.lit(-1).cast("long")
     val = (df.withColumn("b1", F.floor(F.col("value") / 50.0).cast("long"))
            .groupBy("b1").agg(F.count("*").alias("cnt"))
            .select(F.lit("value").alias("kind"), "b1",
                    neg1.alias("b2"), "cnt"))
+    binned = (df.withColumn("b1",
+                            binned_index_col(F.col("value"), 0.0, 512.0, 16))
+              .groupBy("b1").agg(F.count("*").alias("cnt"))
+              .select(F.lit("binned").alias("kind"), "b1",
+                      neg1.alias("b2"), "cnt"))
     week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
     ix = F.least(F.floor((F.col("lon") + 180.0) / 360.0 * 16), F.lit(15))
     iy = F.least(F.floor((F.col("lat") + 90.0) / 180.0 * 16), F.lit(15))
@@ -214,12 +225,18 @@ def q_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
           .withColumn("b2", (iy * 16 + ix).cast("long"))
           .groupBy("b1", "b2").agg(F.count("*").alias("cnt"))
           .select(F.lit("z3").alias("kind"), "b1", "b2", "cnt"))
-    return val.unionByName(z3)
+    return val.unionByName(binned).unionByName(z3)
 
 
 Q_HISTOGRAMS_SQL = f"""
 {GEO}
 SELECT 'value' AS kind, CAST(floor(value / 50.0) AS BIGINT) AS b1,
+       CAST(-1 AS BIGINT) AS b2, count(*) AS cnt
+FROM geo GROUP BY 2
+UNION ALL
+SELECT 'binned' AS kind,
+       CAST(CASE WHEN value < 0.0e0 OR value > 512.0e0 THEN -1
+                 ELSE least(floor(value / 32.0e0), 15) END AS BIGINT) AS b1,
        CAST(-1 AS BIGINT) AS b2, count(*) AS cnt
 FROM geo GROUP BY 2
 UNION ALL
@@ -660,10 +677,16 @@ WHERE xmax >= 40.0 AND xmin <= 50.0 AND ymax >= 20.0 AND ymin <= 30.0
 
 
 def q_density_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Line rasterization: per-track consecutive-point segments inside the
-    cluster bbox rasterized onto a 128x128 grid with a pure-Catalyst DDA
-    walk (DensityScan's line renderer, RenderingGrid.render(LineString))."""
-    from geomesa_spark.operators.tiling import density_lines
+    """Line rasterization, two tagged renderers over the same segments.
+
+    kind='dda': pure-Catalyst sub-cell DDA (the engine's default line
+    renderer).  kind='bres': the reference's EXACT cell walk
+    (operators/tiling.density_lines_bresenham — GridSnap.bresenhamLine's
+    float64 error accumulation and endpoint exclusion, bit-for-bit); its
+    oracle replays the identical IEEE ops in a DuckDB recursive CTE, so a
+    single drifted increment anywhere in the walk fails the hash."""
+    from geomesa_spark.operators.tiling import (density_lines,
+                                                density_lines_bresenham)
     geo = geo_events(spark, sf_dir)
     trk = Window.partitionBy("user_id").orderBy("ts", "event_id")
     segs = (geo
@@ -671,8 +694,14 @@ def q_density_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("y2", F.lead("lat").over(trk))
             .where(F.col("x2").isNotNull())
             .selectExpr("lon AS x1", "lat AS y1", "x2", "y2"))
-    out = density_lines(segs, (40.0, 20.0, 50.0, 30.0), 128, 128)
-    return out.select("px", "py", F.col("weight").cast("long").alias("w"))
+    env = (40.0, 20.0, 50.0, 30.0)
+    dda = density_lines(segs, env, 128, 128)
+    bres = density_lines_bresenham(segs, env, 128, 128)
+    return (dda.select(F.lit("dda").alias("kind"), "px", "py",
+                       F.col("weight").cast("long").alias("w"))
+            .unionByName(bres.select(
+                F.lit("bres").alias("kind"), "px", "py",
+                F.col("weight").cast("long").alias("w"))))
 
 
 Q_DENSITY_LINES_SQL = f"""
@@ -707,11 +736,58 @@ pix AS (
            CAST(floor(ax + (bx - ax) * i / greatest(n, 1)) AS BIGINT) * 128
            + CAST(floor(ay + (by - ay) * i / greatest(n, 1)) AS BIGINT)))) AS pix
   FROM n
+),
+-- 'bres': integer-cell endpoints, then the reference's bresenhamLine walk
+-- replayed with the SAME float64 ops in the SAME order (err + dErr, >= 0.5,
+-- err - 1.0) — bit-identical to the engine's numpy walk and the JVM's.
+cells AS (
+  SELECT CAST(least(floor((x1 - 40.0e0) / 10.0e0 * 128), 127) AS BIGINT) AS ix0,
+         CAST(least(floor((y1 - 20.0e0) / 10.0e0 * 128), 127) AS BIGINT) AS iy0,
+         CAST(least(floor((x2 - 40.0e0) / 10.0e0 * 128), 127) AS BIGINT) AS ix1,
+         CAST(least(floor((y2 - 20.0e0) / 10.0e0 * 128), 127) AS BIGINT) AS iy1,
+         row_number() OVER () AS seg
+  FROM f
+),
+params AS (
+  SELECT seg, ix0, iy0, ix1, iy1,
+         abs(ix1 - ix0) AS dx, abs(iy1 - iy0) AS dy,
+         greatest(greatest(abs(ix1 - ix0), abs(iy1 - iy0)), 1) AS steps,
+         abs(ix1 - ix0) > abs(iy1 - iy0) AS majorx,
+         CASE WHEN abs(ix1 - ix0) > abs(iy1 - iy0)
+              THEN CAST(abs(iy1 - iy0) AS DOUBLE)
+                   / CAST(greatest(abs(ix1 - ix0), 1) AS DOUBLE)
+              ELSE CAST(abs(ix1 - ix0) AS DOUBLE)
+                   / CAST(greatest(abs(iy1 - iy0), 1) AS DOUBLE) END AS derr,
+         CASE WHEN ix0 < ix1 THEN 1 ELSE -1 END AS stepx,
+         CASE WHEN iy0 < iy1 THEN 1 ELSE -1 END AS stepy
+  FROM cells
+),
+walk AS (
+  WITH RECURSIVE w(seg, k, x, y, err, steps, majorx, derr, stepx, stepy) AS (
+    SELECT seg, 0, ix0, iy0, 0.0e0, steps, majorx, derr, stepx, stepy
+    FROM params
+    UNION ALL
+    SELECT seg, k + 1,
+           CASE WHEN majorx THEN x + stepx
+                WHEN err + derr >= 0.5e0 THEN x + stepx ELSE x END,
+           CASE WHEN NOT majorx THEN y + stepy
+                WHEN err + derr >= 0.5e0 THEN y + stepy ELSE y END,
+           CASE WHEN err + derr >= 0.5e0 THEN err + derr - 1.0e0
+                ELSE err + derr END,
+           steps, majorx, derr, stepx, stepy
+    FROM w WHERE k + 1 < steps
+  )
+  SELECT x * 128 + y AS pix FROM w
 )
-SELECT CAST(pix // 128 AS INT) AS px,
+SELECT 'dda' AS kind, CAST(pix // 128 AS INT) AS px,
        CAST(pix % 128 AS INT) AS py,
        CAST(count(*) AS BIGINT) AS w
 FROM pix GROUP BY pix
+UNION ALL
+SELECT 'bres' AS kind, CAST(pix // 128 AS INT) AS px,
+       CAST(pix % 128 AS INT) AS py,
+       CAST(count(*) AS BIGINT) AS w
+FROM walk GROUP BY pix
 """
 
 

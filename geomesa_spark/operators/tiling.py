@@ -338,6 +338,8 @@ def density_lines_bresenham(df: DataFrame, envelope: tuple, width: int,
     # pandas_udf signature resolution (see plans/ecql.py prefer_lonlat)
     def walk(ix0, iy0, ix1, iy1):
         import numpy as np
+        if len(ix0) == 0:   # np.split(empty, []) would yield ONE chunk
+            return pd.Series([], dtype=object)
         seg, i, j = bresenham_pixels(ix0.to_numpy(), iy0.to_numpy(),
                                      ix1.to_numpy(), iy1.to_numpy())
         pix = i * height + j
