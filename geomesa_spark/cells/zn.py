@@ -200,6 +200,41 @@ def zdivide(p: int, rmin: int, rmax: int, dims: int = 2) -> tuple[int, int]:
     return litmax, bigmin
 
 
+def zcut(rng: tuple[int, int], xd: int, in_range: bool,
+         dims: int = 2) -> list[tuple[int, int]]:
+    """Split a z range around a point (ZN.scala:250-265 ``cut``).
+
+    ``in_range``: the point lies inside the query box, so both halves
+    exclude it (degenerate single-node cases when it sits on an
+    endpoint); otherwise the LITMAX/BIGMIN divide drops the dead span
+    between the halves.  An empty list for an uncuttable (single-z)
+    range; reversed bounds raise (ZRange's ordering requirement,
+    enforced here by zdivide)."""
+    rmin, rmax = rng
+    if rmin == rmax:
+        return []
+    if in_range:
+        if xd == rmin:
+            return [(rmax, rmax)]
+        if xd == rmax:
+            return [(rmin, rmin)]
+        return [(rmin, xd - 1), (xd + 1, rmax)]
+    litmax, bigmin = zdivide(xd, rmin, rmax, dims)
+    return [(rmin, litmax), (bigmin, rmax)]
+
+
+def zrange_contains(rng: tuple[int, int], value_rng: tuple[int, int],
+                    dims: int = 2) -> bool:
+    """ZN.contains: value range's user-space box inside rng's box."""
+    return _DIMS[dims].contains(rng, value_rng)
+
+
+def zrange_overlaps(rng: tuple[int, int], value_rng: tuple[int, int],
+                    dims: int = 2) -> bool:
+    """ZN.overlaps: user-space boxes of the two z ranges intersect."""
+    return _DIMS[dims].overlaps(rng, value_rng)
+
+
 def _longest_common_prefix(dims: _Dim, *values: int) -> tuple[int, int]:
     bit_shift = dims.total_bits - dims.dims
     head = values[0] >> bit_shift

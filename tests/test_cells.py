@@ -454,3 +454,56 @@ def test_xz2_geoms_list_corpus():
         idx = sfc.index(xmin, ymin, xmax, ymax)
         assert any(r.lower <= idx <= r.upper for r in ranges), \
             (xmin, ymin, xmax, ymax)
+
+
+class TestZ3Range:
+    """Z3RangeTest.scala:16-63 port: range cut/length/overlaps/contains
+    over the 3-D curve (engine side: cells/zn.zcut, zrange_overlaps,
+    zrange_contains, zdivide)."""
+
+    zmin = Z3.encode(2, 2, 0)
+    zmax = Z3.encode(3, 6, 0)
+
+    def test_requires_ordered_min_and_max(self):
+        # Z3(2,2,0) -> Z3(1,4,0) is a VALID range (z-ordered even though
+        # the user-space components are not)
+        assert Z3.encode(2, 2, 0) < Z3.encode(1, 4, 0)
+        with pytest.raises(ValueError):
+            zn.zcut((self.zmax, self.zmin), Z3.encode(5, 1, 0), False,
+                    dims=3)
+
+    def test_uncuttable_range_is_empty(self):
+        assert zn.zcut((self.zmin, self.zmin), Z3.encode(0, 0, 0), False,
+                       dims=3) == []
+
+    def test_cut_out_of_range_z(self):
+        zcut = Z3.encode(5, 1, 0)
+        assert zn.zcut((self.zmin, self.zmax), zcut, False, dims=3) == [
+            (self.zmin, Z3.encode(3, 3, 0)),
+            (Z3.encode(2, 4, 0), self.zmax),
+        ]
+
+    def test_length(self):
+        assert self.zmax - self.zmin + 1 == 130
+
+    def test_overlaps(self):
+        rng = (self.zmin, self.zmax)
+        def z3r(x0, y0, t0, x1, y1, t1):
+            return (Z3.encode(x0, y0, t0), Z3.encode(x1, y1, t1))
+        assert zn.zrange_overlaps(rng, rng, dims=3)
+        assert zn.zrange_overlaps(rng, z3r(3, 0, 0, 3, 2, 0), dims=3)
+        assert zn.zrange_overlaps(rng, z3r(0, 0, 0, 2, 2, 0), dims=3)
+        assert zn.zrange_overlaps(rng, z3r(1, 6, 0, 4, 6, 0), dims=3)
+        assert not zn.zrange_overlaps(rng, z3r(2, 0, 0, 3, 1, 0), dims=3)
+        assert not zn.zrange_overlaps(rng, z3r(4, 6, 0, 6, 7, 0), dims=3)
+
+    def test_contains(self):
+        rng = (self.zmin, self.zmax)
+        def z3r(x0, y0, t0, x1, y1, t1):
+            return (Z3.encode(x0, y0, t0), Z3.encode(x1, y1, t1))
+        assert zn.zrange_contains(rng, rng, dims=3)
+        assert zn.zrange_contains(rng, z3r(2, 2, 0, 3, 3, 0), dims=3)
+        assert zn.zrange_contains(rng, z3r(3, 5, 0, 3, 6, 0), dims=3)
+        assert not zn.zrange_contains(rng, z3r(2, 2, 0, 4, 3, 0), dims=3)
+        assert not zn.zrange_contains(rng, z3r(2, 1, 0, 3, 3, 0), dims=3)
+        assert not zn.zrange_contains(rng, z3r(2, 1, 0, 3, 7, 0), dims=3)
