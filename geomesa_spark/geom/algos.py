@@ -200,6 +200,63 @@ def vincenty_m(lon1, lat1, lon2, lat2) -> np.ndarray:
     return np.where(sinSigma == 0.0, 0.0, b * A * (sigma - dSigma))
 
 
+def vincenty_move_m(lon, lat, bearing_deg, dist_m) -> tuple[np.ndarray,
+                                                            np.ndarray]:
+    """Vincenty DIRECT problem on WGS84, vectorized: destination
+    (lon, lat) after moving ``dist_m`` meters along the initial bearing
+    (degrees clockwise from north; negative = west of north).  The
+    reference's VincentyModel.moveWithBearingAndDistance
+    (utils/geohash/VincentyModel.scala) — GeomDistanceTest pins the
+    -90 deg / 2,300,000 m move from CCRi to (-104.060, 35.236)."""
+    lon1 = np.radians(np.asarray(lon, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat, dtype=np.float64))
+    alpha1 = np.radians(np.asarray(bearing_deg, dtype=np.float64))
+    s = np.asarray(dist_m, dtype=np.float64)
+    a, f = WGS84_A, WGS84_F
+    b = (1.0 - f) * a
+
+    sinA1, cosA1 = np.sin(alpha1), np.cos(alpha1)
+    tanU1 = (1.0 - f) * np.tan(lat1)
+    cosU1 = 1.0 / np.sqrt(1.0 + tanU1 ** 2)
+    sinU1 = tanU1 * cosU1
+    sigma1 = np.arctan2(tanU1, cosA1)
+    sinAlpha = cosU1 * sinA1
+    cos2Alpha = 1.0 - sinAlpha ** 2
+    u2 = cos2Alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+
+    sigma = s / (b * A)
+    cos2SigmaM = np.cos(2.0 * sigma1 + sigma)
+    sinSigma, cosSigma = np.sin(sigma), np.cos(sigma)
+    for _ in range(200):
+        cos2SigmaM = np.cos(2.0 * sigma1 + sigma)
+        sinSigma, cosSigma = np.sin(sigma), np.cos(sigma)
+        dSigma = B * sinSigma * (
+            cos2SigmaM + B / 4.0 * (cosSigma * (-1.0 + 2.0 * cos2SigmaM ** 2)
+                                    - B / 6.0 * cos2SigmaM
+                                    * (-3.0 + 4.0 * sinSigma ** 2)
+                                    * (-3.0 + 4.0 * cos2SigmaM ** 2)))
+        sigma_new = s / (b * A) + dSigma
+        if np.all(np.abs(sigma_new - sigma) < 1e-12):
+            sigma = sigma_new
+            break
+        sigma = sigma_new
+    cos2SigmaM = np.cos(2.0 * sigma1 + sigma)
+    sinSigma, cosSigma = np.sin(sigma), np.cos(sigma)
+
+    tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosA1
+    lat2 = np.arctan2(sinU1 * cosSigma + cosU1 * sinSigma * cosA1,
+                      (1.0 - f) * np.sqrt(sinAlpha ** 2 + tmp ** 2))
+    lam = np.arctan2(sinSigma * sinA1,
+                     cosU1 * cosSigma - sinU1 * sinSigma * cosA1)
+    C = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+    L = lam - (1.0 - C) * f * sinAlpha * (
+        sigma + C * sinSigma * (cos2SigmaM + C * cosSigma
+                                * (-1.0 + 2.0 * cos2SigmaM ** 2)))
+    return np.degrees(lon1 + L), np.degrees(lat2)
+
+
 def convex_hull_points(pts: np.ndarray) -> np.ndarray:
     """Andrew's monotone chain over an (n, 2) array -> CCW hull vertices
     (no closing repeat).  Collinear points are dropped (strict turns),

@@ -168,3 +168,34 @@ class TestSparkSurface(object):
         back = wkt_loads(row.w)
         np.testing.assert_allclose(
             back.shell, [[10, 50], [11, 50], [11, 51], [10, 50]], atol=1e-9)
+
+
+class TestGeomDistanceFixtures:
+    """GeomDistanceTest.scala ports — VincentyModel inverse + direct."""
+
+    def test_flinders_peak_to_buninyong(self):
+        # the canonical Vincenty reference line (also in the 1975 paper)
+        d = float(vincenty_m(144.4248678889, -37.9510334167,
+                             143.9264955278, -37.6528211389))
+        assert d == pytest.approx(54972.271, abs=0.01)
+
+    def test_ccri_to_albemarle_high_school(self):
+        d = float(vincenty_m(-78.4953560, 38.0752150,
+                             -78.5002901, 38.0754152))
+        assert d == pytest.approx(433.5, abs=0.01)
+
+    def test_ccri_to_mount_potts(self):
+        d = float(vincenty_m(-78.4953560, 38.0752150,
+                             170.919998, -43.498299))
+        assert d == pytest.approx(14301344.142, abs=0.01)
+
+    def test_move_with_bearing_and_distance(self):
+        from geomesa_spark.geom.algos import vincenty_move_m
+        lon2, lat2 = vincenty_move_m(-78.4953560, 38.0752150, -90.0,
+                                     2300000.0)
+        assert float(lon2) == pytest.approx(-104.060, abs=0.01)
+        assert float(lat2) == pytest.approx(35.236, abs=0.01)
+        # round trip: the inverse distance back to the start is the move
+        d = float(vincenty_m(-78.4953560, 38.0752150,
+                             float(lon2), float(lat2)))
+        assert d == pytest.approx(2300000.0, abs=0.1)
