@@ -81,3 +81,45 @@ def decode_bounds(gh: str,
 def decode(gh: str, precision_bits: int | None = None) -> tuple[float, float]:
     xmin, ymin, xmax, ymax = decode_bounds(gh, precision_bits)
     return (xmin + xmax) / 2, (ymin + ymax) / 2
+
+
+def covering_geohash(xmin: float, ymin: float, xmax: float, ymax: float,
+                     precision: int = 40) -> str:
+    """Smallest whole-character geohash containing the bbox
+    (BoundingBox.scala:201-205 getCoveringGeoHash): common prefix of the
+    lower-left hash and the (upper-right - 1e-12) hash at ``precision``
+    bits.  May be '' (the whole world) when the corners share no prefix."""
+    ll = encode(xmin, ymin, precision)
+    ur = encode(xmax - 1e-12, ymax - 1e-12, precision)
+    out = []
+    for a, b in zip(ll, ur):
+        if a != b:
+            break
+        out.append(a)
+    return "".join(out)
+
+
+def geohashes_from_bbox(xmin: float, ymin: float, xmax: float, ymax: float,
+                        max_hashes: int = 32,
+                        precision: int = 40) -> list[str]:
+    """Covering geohash set for a bbox (BoundingBox.scala:149-214
+    getGeoHashesFromBoundingBox): subdivide the covering hash into its 32
+    children, keep those intersecting the bbox (closed-box JTS
+    semantics — touching counts), and recurse while the count stays
+    under ``max_hashes``, is non-zero, and the children are finer than
+    ``precision`` bits; a recursion that overshoots ``max_hashes``
+    returns the coarser level instead."""
+
+    def intersects(h: str) -> bool:
+        gx0, gy0, gx1, gy1 = decode_bounds(h)
+        return gx0 <= xmax and gx1 >= xmin and gy0 <= ymax and gy1 >= ymin
+
+    def min_boxes(hash_list: list[str]) -> list[str]:
+        hashes = [h + c for h in hash_list for c in _BASE32]
+        hashes = [h for h in hashes if intersects(h)]
+        if 0 < len(hashes) < max_hashes and len(hashes[0]) * 5 < precision:
+            child = min_boxes(hashes)
+            return hashes if len(child) > max_hashes else child
+        return hashes
+
+    return min_boxes([covering_geohash(xmin, ymin, xmax, ymax, precision)])

@@ -468,3 +468,32 @@ class TestGeoHashReferenceGoldens:
         ).collect()[0]
         assert row.p27 == "POINT (-78.695068359375 38.133544921875)"
         assert row.p27 != row.p30
+
+
+class TestBoundingBoxGeoHashes:
+    """BoundingBoxTest.scala:17-44 ports: covering-geohash counts for the
+    five reference bboxes (functions/geohash.geohashes_from_bbox)."""
+
+    def test_bbox_from_geohash_centers(self):
+        from geomesa_spark.functions.geohash import (decode,
+                                                     geohashes_from_bbox)
+        x1, y1 = decode("dqb00")
+        x2, y2 = decode("dqbxx")
+        hashes = geohashes_from_bbox(min(x1, x2), min(y1, y2),
+                                     max(x1, x2), max(y1, y2))
+        assert len(hashes) == 24
+
+    def test_charlottesville_bboxes(self):
+        from geomesa_spark.functions.geohash import geohashes_from_bbox
+        assert len(geohashes_from_bbox(-78, 38, -77.895029, 38.045834,
+                                       32)) == 6
+        assert len(geohashes_from_bbox(-78, 38, -77.89503, 38.0458335,
+                                       32)) == 6
+
+    def test_wide_bbox(self):
+        from geomesa_spark.functions.geohash import geohashes_from_bbox
+        assert len(geohashes_from_bbox(-50, -40, 50, 40, 32)) == 8
+
+    def test_degenerate_point_bbox(self):
+        from geomesa_spark.functions.geohash import geohashes_from_bbox
+        assert len(geohashes_from_bbox(1, 1, 1, 1, 32)) == 1
