@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from geomesa_spark.functions.binning import (DateBinning, DoubleBinning,
                                              FloatBinning, GeometryBinning,
                                              IntBinning, LongBinning,
-                                             StringBinning, binned_index_col)
+                                             StringBinning,
+                                             WholeNumberBinning,
+                                             binned_index_col)
 
 UTC = dt.timezone.utc
 
@@ -150,3 +152,58 @@ def test_binned_index_col_matches_scalar(spark):
                      .alias("b")).collect()}
     for v in vals:
         assert got[v] == a.index_of(v), v
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(lo=st.integers(-10**6, 10**6), span=st.integers(1, 10**6),
+           length=st.integers(1, 1000), data=st.data())
+    def test_whole_binning_index_bounds_roundtrip(lo, span, length, data):
+        """For any in-bounds value: 0 <= indexOf(v) < length and
+        bounds(indexOf(v)) contains v — EXCEPT the reference's own double
+        quirk, reproduced faithfully: when binSize*length floors just
+        under the span, the max value clamps into the last bin while
+        bounds(length-1) tops out at floor(binSize*length) < max (found
+        by hypothesis at lo=-474644 span=1000000 length=47; the
+        reference's BinnedArrayTest only asserts bound ORDERING, and its
+        bounds() upper clamp fires only when hiLong >= max).
+        Out-of-bounds values map to -1."""
+        hi = lo + span
+        a = WholeNumberBinning(length, (lo, hi))
+        v = data.draw(st.integers(lo, hi))
+        i = a.index_of(v)
+        assert 0 <= i < length
+        blo, bhi = a.bounds(i)
+        assert blo <= v
+        assert v <= bhi or (i == length - 1 and v == hi)
+        assert a.index_of(lo - 1) == -1
+        assert a.index_of(hi + 1) == -1
+        m = a.median_value(i)
+        assert lo <= m <= hi
+
+    @settings(max_examples=200, deadline=None)
+    @given(x0=st.integers(0, 400), y0=st.integers(0, 400),
+           x1=st.integers(0, 400), y1=st.integers(0, 400))
+    def test_bresenham_walk_invariants(x0, y0, x1, y1):
+        """Any walk: max(|dx|,|dy|) cells (1 when degenerate), starts at
+        the start cell, consecutive cells are 8-connected single steps,
+        never revisits a cell, and matches the scalar reference loop."""
+        from test_gridsnap import _scalar_bresenham, _vector_bresenham_one
+        cells = _vector_bresenham_one(x0, y0, x1, y1)
+        assert len(cells) == max(abs(x1 - x0), abs(y1 - y0), 1)
+        assert cells[0] == (x0, y0)
+        assert len(set(cells)) == len(cells)
+        for (ax, ay), (bx, by) in zip(cells, cells[1:]):
+            assert max(abs(bx - ax), abs(by - ay)) == 1
+        assert cells == _scalar_bresenham(x0, y0, x1, y1)
