@@ -89,6 +89,7 @@ class SpatialQuery:
     z2_col: Optional[str] = None               # name of a z2 column, if present
     s2_col: Optional[str] = None               # name of an s2 column, if present
     allow_full_scan: bool = False
+    guard: Optional[object] = None             # plans.guards.GraduatedQueryGuard
 
     def predicate(self, df: DataFrame) -> Optional[Column]:
         lon, lat = F.col(self.lon_col), F.col(self.lat_col)
@@ -138,13 +139,46 @@ class SpatialQuery:
         return out
 
     def apply(self, df: DataFrame) -> DataFrame:
+        out = df
+        if self.guard is not None:
+            # the interceptor runs before planning (GraduatedQueryGuard
+            # .guard + .rewrite): duration budget by bbox area, then the
+            # tier's sampling applied to the scan
+            bboxes, intervals = self._guard_inputs()
+            self.guard.check(bboxes, intervals)
+            samp = self.guard.sampling(bboxes)
+            if samp is not None:
+                from geomesa_spark.plans.guards import apply_sampling
+                pct, by = samp
+                id_col = next((c for c in ("event_id", "fid", "id")
+                               if c in df.columns), df.columns[0])
+                out = apply_sampling(out, pct, by=by, id_col=id_col)
         pred = self.predicate(df)
-        out = df if pred is None else df.where(pred)
+        if pred is not None:
+            out = out.where(pred)
         if self.select:
             out = out.selectExpr(*self.select)
         if self.limit:
             out = out.limit(self.limit)
         return out
+
+    def _guard_inputs(self):
+        """(bboxes, intervals) for the graduated guard: whole world when
+        spatially unbounded; interval endpoints parsed to datetimes."""
+        import datetime as dt
+        geom = _as_geometry(self.geometry) if self.geometry is not None else None
+        bbox = (tuple(self.bbox) if self.bbox is not None
+                else (geom.bounds if geom is not None else (-180.0, -90.0,
+                                                            180.0, 90.0)))
+        intervals = []
+        if self.interval is not None:
+            lo, hi = self.interval
+            def ts(v):
+                if v is None or isinstance(v, dt.datetime):
+                    return v
+                return dt.datetime.fromisoformat(str(v).replace("Z", "+00:00"))
+            intervals.append((ts(lo), ts(hi)))
+        return [bbox], intervals
 
     def plan(self, indices: list[str], stats=None, cardinality=None,
              temporal_priority: bool = False):

@@ -177,3 +177,37 @@ def test_apply_sampling_keeps_per_key_share(spark):
         assert 150 < c < 350, (k, c)  # ~250 each
     # deterministic: same rows on re-run
     assert out.count() == apply_sampling(df, 0.25, by="name").count()
+
+
+def test_spatial_query_runs_graduated_guard(spark):
+    """SpatialQuery(guard=...) intercepts before planning: over-budget
+    queries raise, in-budget queries run, and a sampled tier thins the
+    scan (the reference's interceptor wiring — query guards run inside
+    the query path, not as a separate API)."""
+    from geomesa_spark.plans.query import SpatialQuery
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 4}", 40.0 + (i % 90) * 0.1, 20.0 + (i % 60) * 0.1,
+          dt.datetime(2020, 1, 1, tzinfo=UTC) + dt.timedelta(minutes=i))
+         for i in range(2000)],
+        "event_id long, name string, lon double, lat double, ts timestamp")
+
+    g = GraduatedQueryGuard(_tiers(), columns=["name"])
+    iv = ("2020-01-01T00:00:00+00:00", "2020-01-01T23:00:00+00:00")
+
+    # area 0.5x0.5 -> 60d tier, no sampling: all in-window rows
+    q_small = SpatialQuery(bbox=(40, 20, 40.5, 20.5), interval=iv, guard=g)
+    full = q_small.apply(df).count()
+    assert full > 0
+
+    # whole-world tier at 23h: allowed, but sampled at 10% by name
+    q_world = SpatialQuery(interval=iv, guard=g, allow_full_scan=True)
+    sampled = q_world.apply(df).count()
+    assert 0 < sampled < 2000 * 0.3
+
+    # over the unbounded tier's 1-day budget -> blocked
+    q_long = SpatialQuery(
+        interval=("2020-01-01T00:00:00+00:00", "2020-01-03T00:00:00+00:00"),
+        guard=g, allow_full_scan=True)
+    with pytest.raises(QueryGuardError):
+        q_long.apply(df)
